@@ -1,0 +1,106 @@
+"""URL canonicalization as pure Catalyst column expressions.
+
+North-rule contract (BASELINE.json north_star): lowercase host, strip
+tracking params, sort query keys. The reference's URL handling is just the
+``url UNIQUE`` constraint (main.py:141) — canonicalization is the scale
+generalization that makes the URL-seen set well-defined at 10^10 URLs.
+
+Canonical form::
+
+    <lower(scheme)>://<lower(host)><path or "/">[?<sorted non-tracking kv>]
+
+- fragment dropped
+- query pairs with tracking keys removed (utm_* prefix + known click ids)
+- remaining pairs sorted lexicographically (byte order, stable + total)
+
+Everything is built-in functions (regexp_extract / split / filter /
+array_sort / array_join) — whole-stage codegen, no UDF, no python in the
+10^10-row hot path. ``py_canonicalize`` is the single-process oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# utm_* is handled as a prefix rule; these are exact-key drops.
+TRACKING_KEYS: tuple[str, ...] = (
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "sessionid",
+    "sid", "trk",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host — also the politeness partition key."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def _is_tracking(pair: Column) -> Column:
+    key = F.split(pair, "=", 2).getItem(0)
+    cond = key.startswith("utm_")
+    for k in TRACKING_KEYS:
+        cond = cond | (key == F.lit(k))
+    return cond
+
+
+def canonical_query_col(url: Column) -> Column:
+    """Sorted, tracking-stripped query string ('' when none survives)."""
+    raw = F.regexp_extract(url, _QUERY_RE, 1)
+    pairs = F.filter(
+        F.split(raw, "&"),
+        lambda p: (F.length(p) > 0) & ~_is_tracking(p),
+    )
+    return F.array_join(F.array_sort(pairs), "&")
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = host_col(url)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = canonical_query_col(url)
+    base = F.concat(scheme, F.lit("://"), host, path)
+    return F.when(qs == "", base).otherwise(F.concat(base, F.lit("?"), qs))
+
+
+# ---------------------------------------------------------------------------
+# Single-process Python oracle for golden/property tests.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_py_scheme = _re.compile(_SCHEME_RE)
+_py_host = _re.compile(_HOST_RE)
+_py_path = _re.compile(_PATH_RE)
+_py_query = _re.compile(_QUERY_RE)
+
+
+def _py_extract(rx: _re.Pattern[str], s: str) -> str:
+    m = rx.search(s)
+    return m.group(1) if m else ""
+
+
+def py_host(url: str) -> str:
+    return _py_extract(_py_host, url).lower()
+
+
+def py_canonicalize(url: str) -> str:
+    scheme = _py_extract(_py_scheme, url).lower()
+    host = py_host(url)
+    path = _py_extract(_py_path, url) or "/"
+    raw_q = _py_extract(_py_query, url)
+    pairs = [
+        p
+        for p in raw_q.split("&")
+        if p
+        and not p.split("=", 1)[0].startswith("utm_")
+        and p.split("=", 1)[0] not in TRACKING_KEYS
+    ]
+    qs = "&".join(sorted(pairs))
+    base = f"{scheme}://{host}{path}"
+    return f"{base}?{qs}" if qs else base

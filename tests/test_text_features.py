@@ -1,0 +1,135 @@
+"""Golden tests for the feature-extraction column expressions.
+
+Mirrors the reference's operator golden values
+(tests/test_main.py:279-299) plus the determinism traps from SURVEY.md §7.3:
+substring (not word-boundary) matching, vocabulary-order output,
+first-match-wins classifier order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.text import (
+    TECH_KEYWORDS,
+    features_col,
+    py_extract_features,
+)
+
+GOLDEN_JOB = {
+    "title": "Senior Python Developer",
+    "company": "TechCorp",
+    "description": (
+        "We need a senior Python developer with Django and AWS experience. "
+        "Remote work available. Pension and healthcare benefits. "
+        "5+ years required."
+    ),
+    "salary_min": 70000,
+    "salary_max": 90000,
+}
+
+
+def _spark_features(spark, jobs: list[dict]) -> list[dict]:
+    rows = [
+        (
+            j.get("title"),
+            j.get("description"),
+            float(j["salary_min"]) if j.get("salary_min") is not None else None,
+            float(j["salary_max"]) if j.get("salary_max") is not None else None,
+        )
+        for j in jobs
+    ]
+    df = spark.createDataFrame(
+        rows, "title string, description string, salary_min double, salary_max double"
+    )
+    out = df.select(
+        features_col(
+            F.col("description"), F.col("title"), F.col("salary_min"), F.col("salary_max")
+        ).alias("f")
+    ).collect()
+    return [r.f.asDict(recursive=True) for r in out]
+
+
+def test_reference_golden_values(spark):
+    # reference tests/test_main.py:279-299 golden expectations
+    f = _spark_features(spark, [GOLDEN_JOB])[0]
+    assert "python" in f["tech_stack"]
+    assert "django" in f["tech_stack"]
+    assert "aws" in f["tech_stack"]
+    assert f["experience_level"] == "senior"
+    assert f["remote_policy"] == "remote"
+    assert f["has_benefits"] is True
+    assert f["salary_info"]["average"] == 80000.0
+    assert f["description_length"] == len(GOLDEN_JOB["description"])
+
+
+def test_substring_not_word_boundary(spark):
+    # "go" must match inside "Django" (main.py:308-310 semantics)
+    f = _spark_features(
+        spark, [{"title": "", "description": "We use Django daily."}]
+    )[0]
+    assert "go" in f["tech_stack"]
+    assert "django" in f["tech_stack"]
+
+
+def test_vocabulary_order(spark):
+    desc = "rust and python and java and api and c# here"
+    f = _spark_features(spark, [{"title": "", "description": desc}])[0]
+    # output order == vocabulary order, not document order
+    # ("java" also substring-matches "javascript"? no — other direction;
+    #  but "java" matches inside "javascript" is irrelevant: doc has "java")
+    expected = [k for k in TECH_KEYWORDS if k in desc]
+    assert f["tech_stack"] == expected
+
+
+def test_first_match_wins_order(spark):
+    # doc matches junior AND senior -> junior wins (dict insertion order)
+    f = _spark_features(
+        spark,
+        [{"title": "", "description": "graduate role; senior mentors on team"}],
+    )[0]
+    assert f["experience_level"] == "junior"
+
+
+def test_experience_scans_title_remote_does_not(spark):
+    f = _spark_features(
+        spark, [{"title": "Senior Engineer (Remote)", "description": "plain text"}]
+    )[0]
+    assert f["experience_level"] == "senior"
+    # remote indicators scan description only (main.py:318-322)
+    assert f["remote_policy"] == "not_specified"
+
+
+def test_salary_requires_both_bounds(spark):
+    f = _spark_features(
+        spark, [{"title": "", "description": "", "salary_min": 50000}]
+    )[0]
+    assert f["salary_info"] is None
+
+
+def test_nulls_degrade_gracefully(spark):
+    f = _spark_features(spark, [{"title": None, "description": None}])[0]
+    assert f["tech_stack"] == []
+    assert f["experience_level"] == "not_specified"
+    assert f["description_length"] == 0
+
+
+def test_spark_matches_python_oracle(spark):
+    jobs = [
+        GOLDEN_JOB,
+        {"title": "Go dev", "description": "Django, flexible hybrid, 3-5 years"},
+        {"title": None, "description": None},
+        {"title": "Manager", "description": "head of platform; office based",
+         "salary_min": 100000, "salary_max": 140000},
+        {"title": "x", "description": "entry level javascript; wfh; holiday pay"},
+    ]
+    got = _spark_features(spark, jobs)
+    for job, g in zip(jobs, got):
+        want = py_extract_features(job)
+        if want["salary_info"] is None:
+            assert g["salary_info"] is None
+        else:
+            assert g["salary_info"] == want["salary_info"]
+        for k in ("tech_stack", "experience_level", "remote_policy",
+                  "description_length", "has_benefits"):
+            assert g[k] == want[k], (k, job)
