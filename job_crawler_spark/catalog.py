@@ -1,0 +1,165 @@
+"""Snapshot catalog: Iceberg-shaped table layer over parquet directories.
+
+The north rule stores every engine table (frontier, seen, documents,
+crawl_log, checkpoints, ...) in Iceberg so each crawl round commits
+atomically and a killed job resumes from the last snapshot. This sandbox has
+no Iceberg runtime jars, so this module provides the same API shape over
+plain parquet + JSON manifests (SURVEY.md §7.3 "Iceberg availability"):
+
+- a table = a directory of immutable parquet data files + numbered manifest
+  files, each manifest listing the data files visible in that snapshot;
+- commit = write data files, write ``manifest-<n>.json``, then atomically
+  rename a pointer file — readers always see a complete snapshot;
+- append = new manifest referencing old files + new files (no rewrite);
+- overwrite = new manifest referencing only new files (old files remain for
+  time travel until expired);
+- merge_upsert = copy-on-write MERGE (Iceberg ``MERGE INTO t USING s ON
+  t.key = s.key WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``);
+- read(version=k) = time travel, which is what mid-frontier resume uses.
+
+On a real cluster you'd swap this for the Iceberg Spark catalog with zero
+changes above this module — the engine only calls read/append/overwrite/
+merge_upsert/snapshot_id/expire_snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_POINTER = "_latest"
+
+
+@dataclass
+class Catalog:
+    root: str
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"manifest-{version:08d}.json")
+
+    # -- snapshot bookkeeping -------------------------------------------------
+    def snapshot_id(self, name: str) -> int:
+        """Latest committed snapshot version; -1 if the table doesn't exist."""
+        ptr = os.path.join(self._tdir(name), _POINTER)
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def exists(self, name: str) -> bool:
+        return self.snapshot_id(name) >= 0
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        with open(self._manifest_path(name, version)) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, files: list[str], schema_json: str) -> int:
+        """Write manifest-<n+1> then atomically flip the pointer."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        version = self.snapshot_id(name) + 1
+        manifest = {"version": version, "files": files, "schema": schema_json}
+        with open(self._manifest_path(name, version), "w") as f:
+            json.dump(manifest, f)
+        tmp = os.path.join(tdir, f"{_POINTER}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(tdir, _POINTER))  # atomic publish
+        return version
+
+    # -- data-file I/O ---------------------------------------------------------
+    def _write_data(self, df: DataFrame, name: str) -> list[str]:
+        """Write df as immutable parquet files under a fresh uuid dir."""
+        out = os.path.join(self._tdir(name), f"data-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(out)
+        return [
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        v = self.snapshot_id(name) if version is None else version
+        if v < 0:
+            if schema is None:
+                raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+            return spark.createDataFrame([], schema=schema)
+        manifest = self._read_manifest(name, v)
+        if not manifest["files"]:
+            sch = schema or T.StructType.fromJson(json.loads(manifest["schema"]))
+            return spark.createDataFrame([], schema=sch)
+        return spark.read.parquet(*manifest["files"])
+
+    def overwrite(self, df: DataFrame, name: str) -> int:
+        files = self._write_data(df, name)
+        return self._commit(name, files, df.schema.json())
+
+    def append(self, df: DataFrame, name: str) -> int:
+        new_files = self._write_data(df, name)
+        v = self.snapshot_id(name)
+        old_files = self._read_manifest(name, v)["files"] if v >= 0 else []
+        return self._commit(name, old_files + new_files, df.schema.json())
+
+    def merge_upsert(
+        self, spark: SparkSession, name: str, source: DataFrame, key: str
+    ) -> int:
+        """Copy-on-write MERGE keyed on a natural key (e.g. url, main.py:141).
+
+        Matched target rows are replaced by source rows; unmatched source rows
+        are inserted. Equivalent Iceberg SQL::
+
+            MERGE INTO name t USING source s ON t.<key> = s.<key>
+            WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        """
+        if not self.exists(name):
+            return self.overwrite(source, name)
+        target = self.read(spark, name)
+        kept = target.join(source.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(source)
+        return self.overwrite(merged, name)
+
+    def expire_snapshots(self, name: str, keep_last: int = 5) -> None:
+        """Retention (reference backup cleanup, backup_manager.py:88-101):
+        drop manifests older than the last ``keep_last`` and delete data
+        files no newer manifest references."""
+        latest = self.snapshot_id(name)
+        if latest < 0:
+            return
+        keep_versions = set(range(max(0, latest - keep_last + 1), latest + 1))
+        live_files: set[str] = set()
+        tdir = self._tdir(name)
+        for v in keep_versions:
+            p = self._manifest_path(name, v)
+            if os.path.exists(p):
+                live_files.update(self._read_manifest(name, v)["files"])
+        for entry in os.listdir(tdir):
+            if entry.startswith("manifest-"):
+                v = int(entry[len("manifest-"):-len(".json")])
+                if v not in keep_versions:
+                    os.remove(os.path.join(tdir, entry))
+            elif entry.startswith("data-"):
+                ddir = os.path.join(tdir, entry)
+                for f in os.listdir(ddir):
+                    full = os.path.join(ddir, f)
+                    if f.endswith(".parquet") and full not in live_files:
+                        os.remove(full)
+                if not os.listdir(ddir):
+                    shutil.rmtree(ddir, ignore_errors=True)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)

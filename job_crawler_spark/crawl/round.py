@@ -1,0 +1,332 @@
+"""The crawl round loop: schedule -> fetch -> parse -> commit, resumable.
+
+Spark-first re-expression of the reference's flagship pipeline
+``search_jobs_with_analysis_framework`` (main.py:479-566, SURVEY.md §3.1):
+validate -> fetch -> dedup -> limit -> enrich -> lineage log, generalized to
+the north rule's round-based URL-frontier crawl:
+
+  round k:
+    1. read pending frontier (latest catalog snapshot)
+    2. politeness-schedule the batch (per-host budget window rank)
+    3. fetch + parse scheduled URLs (Arrow-batched stages)
+    4. enrich documents (pure column expressions)
+    5. expand outlinks -> new frontier candidates, dedup:
+         Bloom prefilter (broadcast shards) -> exact anti-join vs seen
+    6. COMMIT, in replay-idempotent order:
+         documents (MERGE by doc_id) -> seen (anti-join append) ->
+         seen_shards (OR-merge) -> frontier (overwrite) ->
+         crawl_log (per-partition lineage, round-keyed rewrite) ->
+         checkpoint marker (LAST)
+
+Because the checkpoint marker commits last and every earlier write is
+idempotent (MERGE / anti-join-append / OR / overwrite-derived-from-snapshot),
+a job killed mid-round replays exactly that round and converges to the same
+state — the kill-and-resume contract of BASELINE.json. Determinism: batch
+selection is a pure function of the frontier snapshot (total order
+(priority DESC, url_canon ASC)), fetch/parse are deterministic, so replayed
+rounds are bit-identical.
+
+Failed fetches are committed to ``seen`` (no retry) and counted in lineage —
+the reference's errors-degrade-never-raise policy (main.py:241-243).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from job_crawler_spark import schemas
+from job_crawler_spark.catalog import Catalog
+from job_crawler_spark.crawl import fetcher, parser
+from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
+from job_crawler_spark.operators import bloom
+from job_crawler_spark.operators.dedup import anti_join_seen, first_wins
+from job_crawler_spark.operators.politeness import schedule_batch
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("scheduled", T.LongType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("docs_total", T.LongType(), False),
+        T.StructField("seen_total", T.LongType(), False),
+        T.StructField("frontier_pending", T.LongType(), False),
+        # snapshot versions AFTER this round's commits — the next round (and
+        # any replay of it) reads its inputs as-of these versions, never
+        # "latest": time travel is what makes mid-frontier resume exact.
+        T.StructField("frontier_v", T.IntegerType(), False),
+        T.StructField("seen_v", T.IntegerType(), False),
+        T.StructField("shards_v", T.IntegerType(), False),
+    ]
+)
+
+PENDING_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlEngine:
+    spark: SparkSession
+    catalog: Catalog
+    robots: DataFrame
+    round_seconds: int = 60
+    salt_buckets: int = 32
+    bloom_shards: int = 64
+    bloom_bits: int = 1 << 20
+    bloom_k: int = 5
+    stats: list[dict] = field(default_factory=list)
+
+    # table names
+    T_FRONTIER = "frontier"
+    T_SEEN = "seen"
+    T_SHARDS = "seen_shards"
+    T_DOCS = "documents"
+    T_LOG = "crawl_log"
+    T_CKPT = "checkpoints"
+    T_SCHED = "schedule_log"
+
+    # -- bootstrap -------------------------------------------------------------
+    def bootstrap(self, raw_frontier: DataFrame) -> None:
+        """Seed the frontier: canonicalize, drop null/invalid urls, first-wins
+        dedup on canonical URL by (priority DESC, url ASC)."""
+        canon = (
+            raw_frontier.filter(F.col("url").isNotNull())
+            .withColumn("url_canon", canonicalize_url_col(F.col("url")))
+            .withColumn("host", host_col(F.col("url")))
+            .filter(F.col("host") != "")
+        )
+        # survivor per canon URL: highest priority, then smallest raw url —
+        # total order => deterministic under any partitioning
+        deduped = (
+            first_wins(
+                canon.withColumn("neg_priority", -F.col("priority")),
+                ["url_canon"],
+                ["neg_priority", "url"],
+            )
+            .select("url_canon", "host", "depth", "priority", "round")
+        )
+        fv = self.catalog.overwrite(deduped, self.T_FRONTIER)
+        empty_seen = self.spark.createDataFrame([], schema=schemas.SEEN_SCHEMA)
+        sv = self.catalog.overwrite(empty_seen, self.T_SEEN)
+        empty_shards = self.spark.createDataFrame([], schema=bloom.SHARD_SCHEMA)
+        shv = self.catalog.overwrite(empty_shards, self.T_SHARDS)
+        # round -1 checkpoint pins the bootstrap snapshot versions for round 0
+        marker = self.spark.createDataFrame(
+            [
+                {
+                    "round": -1, "scheduled": 0, "fetched": 0, "failed": 0,
+                    "docs_total": 0, "seen_total": 0, "frontier_pending": 0,
+                    "frontier_v": fv, "seen_v": sv, "shards_v": shv,
+                }
+            ],
+            schema=CHECKPOINT_SCHEMA,
+        )
+        self.catalog.overwrite(marker, self.T_CKPT)
+
+    # -- resume ------------------------------------------------------------------
+    def next_round(self) -> int:
+        if not self.catalog.exists(self.T_CKPT):
+            return 0
+        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        row = ck.agg(F.max("round").alias("m")).collect()[0]
+        return 0 if row.m is None else int(row.m) + 1
+
+    def _pinned_versions(self, round_no: int) -> tuple[int, int, int]:
+        """Snapshot versions this round's inputs are read as-of: the state the
+        PREVIOUS round's checkpoint committed. Replays therefore recompute
+        from identical inputs even when later snapshots already exist."""
+        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        row = ck.filter(F.col("round") == round_no - 1).collect()
+        if not row:
+            raise RuntimeError(
+                f"no checkpoint for round {round_no - 1}; bootstrap first or "
+                f"resume from next_round()"
+            )
+        r = row[0]
+        return int(r.frontier_v), int(r.seen_v), int(r.shards_v)
+
+    # -- one round ----------------------------------------------------------------
+    def run_round(self, round_no: int) -> dict:
+        spark, cat = self.spark, self.catalog
+        fv, sv, shv = self._pinned_versions(round_no)
+        frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
+        seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
+
+        batch = schedule_batch(
+            frontier, self.robots, self.round_seconds, self.salt_buckets
+        ).cache()
+        n_scheduled = batch.count()
+        if n_scheduled == 0:
+            return {"round": round_no, "scheduled": 0, "done": True}
+
+        # schedule log: the deterministic crawl order (host, host_rank) this
+        # round — the bit-reproducibility artifact the oracle test checks.
+        sched_schema = T.StructType(
+            [
+                T.StructField("round", T.IntegerType(), False),
+                T.StructField("host", T.StringType(), False),
+                T.StructField("host_rank", T.IntegerType(), False),
+                T.StructField("url_canon", T.StringType(), False),
+            ]
+        )
+        sched = batch.select(
+            F.lit(round_no).alias("round"), "host", "host_rank", "url_canon"
+        )
+        self._round_keyed_write(self.T_SCHED, sched, sched_schema, round_no)
+
+        fetched = fetcher.fetch_pages(batch).cache()
+        ok_pages = fetched.filter(F.col("fetch_ok")).select(
+            "url_canon", "depth", "page"
+        )
+        parsed = parser.parse_pages(ok_pages.select("url_canon", "page")).cache()
+        docs = parser.enrich_documents(parsed.select("doc_id", "spans"))
+
+        # outlinks -> frontier candidates (dedup within round + vs seen/pending)
+        links = (
+            parsed.join(
+                ok_pages.select(F.col("url_canon").alias("doc_id"), "depth"),
+                on="doc_id",
+            )
+            .select("depth", F.explode_outer("outlinks").alias("outlink"))
+            .filter(F.col("outlink").isNotNull())
+        )
+        candidates = fetcher.expand_outlinks(links)
+        # one row per canon: max priority, min depth (deterministic aggregates)
+        candidates = candidates.groupBy("url_canon", "host").agg(
+            F.max("priority").alias("priority"), F.min("depth").alias("depth")
+        )
+
+        batch_urls = batch.select("url_canon")
+        remaining = frontier.join(batch_urls, "url_canon", "left_anti")
+        not_pending = candidates.join(
+            frontier.select("url_canon"), "url_canon", "left_anti"
+        ).join(batch_urls, "url_canon", "left_anti")
+
+        # Bloom prefilter (provably-new skips the anti-join shuffle), exact
+        # anti-join authoritative for the maybe-seen remainder (T4). Pinned
+        # version: shards ⊇ seen at the same pin (commit order shards-before-
+        # seen) so "bloom says new" is provable against the pinned seen.
+        shards_df = cat.read(
+            spark, self.T_SHARDS, version=shv, schema=bloom.SHARD_SCHEMA
+        )
+        shards = bloom.collect_shards(
+            shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k
+        )
+        provably_new, maybe_seen = bloom.split_by_bloom(
+            not_pending, spark, shards, "url_canon"
+        )
+        confirmed_new = anti_join_seen(maybe_seen, seen, "url_canon")
+        discovered = provably_new.unionByName(confirmed_new).withColumn(
+            "round", F.lit(round_no + 1)
+        ).select("url_canon", "host", "depth", "priority", "round")
+
+        # -------- commit (idempotent steps, checkpoint marker last) ---------
+        # Writes are computed against the LATEST snapshots so a replay after
+        # a partial commit never duplicates rows; reads above used the pinned
+        # snapshots so the computed round is identical either way.
+        cat.merge_upsert(spark, self.T_DOCS, docs, key="doc_id")
+
+        latest_seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
+        new_seen = anti_join_seen(
+            batch.select("url_canon").withColumn("first_round", F.lit(round_no)),
+            latest_seen,
+            "url_canon",
+        ).cache()
+
+        # shards BEFORE seen: the invariant is shards ⊇ seen at every commit
+        # point — a crash between the two leaves extra bloom bits (harmless
+        # false-positive side), never missing ones (which would break the
+        # provably-new shortcut).
+        new_shards = bloom.build_shards(
+            new_seen.select("url_canon"),
+            "url_canon",
+            self.bloom_shards,
+            self.bloom_bits,
+            self.bloom_k,
+        )
+        latest_shards = cat.read(spark, self.T_SHARDS, schema=bloom.SHARD_SCHEMA)
+        merged_shards = bloom.merge_shard_tables(latest_shards, new_shards)
+        shards_v = cat.overwrite(merged_shards, self.T_SHARDS)
+
+        cat.append(new_seen, self.T_SEEN)
+        seen_v = cat.snapshot_id(self.T_SEEN)
+        new_seen.unpersist()
+
+        new_frontier = remaining.unionByName(discovered)
+        frontier_v = cat.overwrite(new_frontier, self.T_FRONTIER)
+
+        # per-partition lineage (round-keyed rewrite = replay-idempotent)
+        lineage = (
+            fetched.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("urls_scheduled"),
+                F.sum(F.col("fetch_ok").cast("long")).alias("urls_fetched"),
+                F.sum((~F.col("fetch_ok")).cast("long")).alias("urls_failed"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
+        spans_count = docs.select(
+            F.sum(F.size("spans")).alias("s")
+        ).collect()[0].s or 0
+        lineage = lineage.withColumn(
+            "spans_parsed", F.lit(int(spans_count)).cast("long")
+        ).select(schemas.CRAWL_LOG_SCHEMA.fieldNames())
+        self._round_keyed_write(self.T_LOG, lineage, schemas.CRAWL_LOG_SCHEMA, round_no)
+
+        n_fetched = fetched.filter(F.col("fetch_ok")).count()
+        stats_row = {
+            "round": round_no,
+            "scheduled": int(n_scheduled),
+            "fetched": int(n_fetched),
+            "failed": int(n_scheduled - n_fetched),
+            "docs_total": int(cat.read(spark, self.T_DOCS).count()),
+            "seen_total": int(cat.read(spark, self.T_SEEN, version=seen_v).count()),
+            "frontier_pending": int(
+                cat.read(spark, self.T_FRONTIER, version=frontier_v).count()
+            ),
+            "frontier_v": int(frontier_v),
+            "seen_v": int(seen_v),
+            "shards_v": int(shards_v),
+        }
+        ckpt = spark.createDataFrame([stats_row], schema=CHECKPOINT_SCHEMA)
+        self._round_keyed_write(self.T_CKPT, ckpt, CHECKPOINT_SCHEMA, round_no)
+
+        batch.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
+        self.stats.append(stats_row)
+        return {**stats_row, "done": False}
+
+    def _round_keyed_write(
+        self, name: str, df: DataFrame, schema: T.StructType, round_no: int
+    ) -> None:
+        """Rewrite = (existing rows of other rounds) + this round's rows."""
+        if self.catalog.exists(name):
+            existing = self.catalog.read(self.spark, name, schema=schema).filter(
+                F.col("round") != round_no
+            )
+            df = existing.unionByName(df)
+        self.catalog.overwrite(df, name)
+
+    # -- multi-round driver ---------------------------------------------------
+    def run(self, max_rounds: int) -> list[dict]:
+        start = self.next_round()
+        out = []
+        for r in range(start, start + max_rounds):
+            res = self.run_round(r)
+            out.append(res)
+            if res.get("done"):
+                break
+        return out

@@ -1,0 +1,218 @@
+"""Partitioned Bloom URL-seen filter: broadcast prefilter for frontier dedup.
+
+The reference's URL-seen set is a SQLite ``url UNIQUE`` constraint plus an
+in-memory ``set`` consulted before insert (main.py:141, main.py:518) — the
+classic cheap-prefilter-before-exact-check. At 10^10 URLs the exact set is
+an Iceberg table and the prefilter becomes **sharded Bloom bitmaps**:
+
+- shard by ``pmod(hash64(url_canon), n_shards)`` so each shard stays small
+  enough to build in one Arrow batch and the union broadcasts;
+- k probe positions via double hashing h_i = (h1 + i*h2) mod m (Kirsch &
+  Mitzenmacher 2006 — two hashes suffice for Bloom-optimal behavior);
+- one-sided error by construction: "not seen" is PROVABLE (the URL skips
+  the expensive anti-join shuffle entirely); "maybe seen" goes to the exact
+  ``left_anti`` join, which is authoritative (SURVEY.md §2.9 T4) — a false
+  positive can never drop a new URL.
+
+Sandbox sizing: shards sized for the simulated scale. Real-scale parameters
+(documented, not allocated): 10^10 keys at 10 bits/key = ~12.5 GB total →
+1024 shards of ~12 MB, each executor holding only broadcast shards it probes;
+k=7 gives ~0.8% FPR. Per-round maintenance appends only the current round's
+new URLs to the affected shards (read-modify-write per shard group).
+
+Hashing is hashlib.blake2b — stable across Python processes (unlike
+``hash()``), no external deps, and independent of Spark's xxhash64 so a JVM
+upgrade can never silently re-index the bitmaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _h64_pair(key: str) -> tuple[int, int]:
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return _h64_pair(key)[0] % n_shards
+
+
+def _probe_positions(key: str, m_bits: int, k: int) -> list[int]:
+    h1, h2 = _h64_pair(key)
+    # force h2 odd so probes cycle through the full bitmap
+    h2 |= 1
+    return [((h1 + i * h2) % m_bits) for i in range(k)]
+
+
+def optimal_bits(n_keys: int, fpr: float = 0.01) -> int:
+    return max(64, int(-n_keys * math.log(fpr) / (math.log(2) ** 2)))
+
+
+def optimal_k(m_bits: int, n_keys: int) -> int:
+    return max(1, int(round(m_bits / max(n_keys, 1) * math.log(2))))
+
+
+class BloomShards:
+    """A set of Bloom bitmaps keyed by shard id, broadcastable as a dict."""
+
+    def __init__(self, n_shards: int, m_bits: int, k: int):
+        self.n_shards = n_shards
+        self.m_bits = m_bits
+        self.k = k
+        self.bitmaps: dict[int, np.ndarray] = {}
+
+    # -- single-process core (also the oracle) --------------------------------
+    def add(self, key: str) -> None:
+        s = shard_of(key, self.n_shards)
+        bm = self.bitmaps.get(s)
+        if bm is None:
+            bm = np.zeros(self.m_bits // 8 + 1, dtype=np.uint8)
+            self.bitmaps[s] = bm
+        for pos in _probe_positions(key, self.m_bits, self.k):
+            bm[pos >> 3] |= 1 << (pos & 7)
+
+    def might_contain(self, key: str) -> bool:
+        bm = self.bitmaps.get(shard_of(key, self.n_shards))
+        if bm is None:
+            return False
+        return all(
+            bm[pos >> 3] & (1 << (pos & 7))
+            for pos in _probe_positions(key, self.m_bits, self.k)
+        )
+
+    # -- (de)serialization for the seen_shards table / broadcast --------------
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        return [(s, bm.tobytes()) for s, bm in sorted(self.bitmaps.items())]
+
+    @classmethod
+    def from_rows(
+        cls, rows: list[tuple[int, bytes]], n_shards: int, m_bits: int, k: int
+    ) -> "BloomShards":
+        bs = cls(n_shards, m_bits, k)
+        for s, blob in rows:
+            bs.bitmaps[int(s)] = np.frombuffer(blob, dtype=np.uint8).copy()
+        return bs
+
+    def merge(self, other: "BloomShards") -> "BloomShards":
+        assert (self.n_shards, self.m_bits, self.k) == (
+            other.n_shards, other.m_bits, other.k,
+        )
+        for s, bm in other.bitmaps.items():
+            if s in self.bitmaps:
+                self.bitmaps[s] = np.bitwise_or(self.bitmaps[s], bm)
+            else:
+                self.bitmaps[s] = bm.copy()
+        return self
+
+
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),
+    ]
+)
+
+
+def build_shards(
+    keys: DataFrame, key_col: str, n_shards: int, m_bits: int, k: int
+) -> DataFrame:
+    """Distributed shard build: repartition keys by shard, build each shard's
+    bitmap inside one Arrow-batched group (applyInPandas). One shuffle on the
+    shard id — uniform by construction (hash sharding)."""
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        bs = BloomShards(n_shards, m_bits, k)
+        for key in pdf[key_col]:
+            bs.add(key)
+        rows = bs.to_rows()
+        return pd.DataFrame(
+            {"shard": [r[0] for r in rows], "bitmap": [r[1] for r in rows]}
+        )
+
+    # shard id must match shard_of() exactly (same blake2b), so it is
+    # computed in an Arrow-batched mapInPandas — never a per-row scalar UDF.
+    def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "shard": [shard_of(u, n_shards) for u in pdf[key_col]],
+                }
+            )
+
+    keyed = keys.select(key_col).mapInPandas(
+        add_shard, schema=f"{key_col} string, shard int"
+    )
+    return keyed.groupBy("shard").applyInPandas(build_one, schema=SHARD_SCHEMA)
+
+
+def merge_shard_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """OR together bitmaps per shard (per-round seen_shards maintenance)."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for blob in pdf["bitmap"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [acc.tobytes()]}
+        )
+
+    return (
+        existing.unionByName(new)
+        .groupBy("shard")
+        .applyInPandas(merge_group, schema=SHARD_SCHEMA)
+    )
+
+
+def collect_shards(
+    spark_df: DataFrame, n_shards: int, m_bits: int, k: int
+) -> BloomShards:
+    rows = [(r.shard, bytes(r.bitmap)) for r in spark_df.collect()]
+    return BloomShards.from_rows(rows, n_shards, m_bits, k)
+
+
+def split_by_bloom(
+    batch: DataFrame,
+    spark: SparkSession,
+    shards: BloomShards,
+    key_col: str = "url_canon",
+) -> tuple[DataFrame, DataFrame]:
+    """(provably_new, maybe_seen) split via broadcast Bloom probe.
+
+    ``provably_new`` skips the exact anti-join; ``maybe_seen`` must be
+    confirmed against the seen table. mapInPandas + sc.broadcast: each task
+    probes the in-memory bitmaps — no shuffle, no join.
+    """
+    bc = spark.sparkContext.broadcast(
+        (shards.to_rows(), shards.n_shards, shards.m_bits, shards.k)
+    )
+    flag_schema = T.StructType(
+        batch.schema.fields + [T.StructField("__maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows, n_shards, m_bits, k = bc.value
+        bs = BloomShards.from_rows(rows, n_shards, m_bits, k)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__maybe_seen"] = [
+                bs.might_contain(u) for u in pdf[key_col]
+            ]
+            yield pdf
+
+    flagged = batch.mapInPandas(probe, schema=flag_schema)
+    return (
+        flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
+    )

@@ -1,0 +1,82 @@
+"""Deduplication operators.
+
+Reference semantics generalized (SURVEY.md §2.3 J2, §2.5 W1, §2.9 T4):
+
+- within-batch **first-wins** dedup in arrival order: the reference scans a
+  ``seen`` set in list order (main.py:517-525) so the FIRST occurrence
+  survives. ``dropDuplicates`` alone is nondeterministic under parallelism —
+  we window-rank on an explicit arrival index instead (SURVEY.md §7.3).
+- cross-round dedup vs the persistent URL-seen set: ``left_anti`` join (the
+  exact, authoritative check — reference ``url UNIQUE``, main.py:141),
+  optionally prefiltered by the Bloom shards in operators/bloom.py.
+
+Scale notes: the anti-join shuffles both sides on the key — at 10^10 seen
+URLs the Bloom prefilter keeps provably-new URLs (the overwhelming majority
+in a growing crawl) out of the shuffle entirely. First-wins windows shuffle
+once on the dedup key; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    keep_rank_col: bool = False,
+) -> DataFrame:
+    """Keep the first row per key under a TOTAL order (deterministic W1).
+
+    ``order_cols`` must form a total order within each key group (append a
+    unique tiebreaker like the raw url/arrival index) or survivors are
+    nondeterministic — callers own that invariant.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    out = ranked.filter(F.col("__rank") == 1)
+    return out if keep_rank_col else out.drop("__rank")
+
+
+def dedup_company_title(df: DataFrame, arrival_col: str = "arrival_idx") -> DataFrame:
+    """The reference's in-batch dedup key: lower(company)_lower(title) with
+    null/empty-key rows dropped (main.py:517-525, P3)."""
+    keyed = df.filter(
+        F.col("title").isNotNull()
+        & (F.col("title") != "")
+        & F.col("company").isNotNull()
+        & (F.col("company") != "")
+    ).withColumn(
+        "dedup_key",
+        F.concat_ws("_", F.lower(F.col("company")), F.lower(F.col("title"))),
+    )
+    return first_wins(keyed, ["dedup_key"], [arrival_col]).drop("dedup_key")
+
+
+def anti_join_seen(
+    batch: DataFrame, seen: DataFrame, key: str = "url_canon"
+) -> DataFrame:
+    """Rows of ``batch`` whose key is NOT in ``seen`` (exact, authoritative)."""
+    return batch.join(seen.select(key), on=key, how="left_anti")
+
+
+def exact_text_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content dedup for training-data pipelines: group by the MD5 of
+    whitespace-normalized lowercase text, keep the smallest doc_id
+    (deterministic representative). Hash-groupBy: one shuffle on a 128-bit
+    key — uniform, no skew, scales linearly."""
+    normed = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    return (
+        docs.withColumn("content_hash", normed)
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Dedup operators + Bloom shards: determinism and one-sided error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_crawler_spark.operators import bloom
+from job_crawler_spark.operators.dedup import (
+    anti_join_seen,
+    dedup_company_title,
+    exact_text_dedup,
+    first_wins,
+)
+
+
+def test_first_wins_is_arrival_deterministic(spark):
+    rows = [("k1", 2, "b"), ("k1", 1, "a"), ("k2", 1, "c"), ("k1", 3, "z")]
+    df = spark.createDataFrame(rows, "k string, arrival int, v string").repartition(4)
+    got = {
+        r.k: r.v
+        for r in first_wins(df, ["k"], ["arrival"]).collect()
+    }
+    assert got == {"k1": "a", "k2": "c"}
+
+
+def test_dedup_company_title_reference_semantics(spark):
+    rows = [
+        (0, "Engineer", "ACME"),
+        (1, "engineer", "acme"),      # dup (case-insensitive key)
+        (2, "", "acme"),              # dropped: empty title (P3)
+        (3, None, "acme"),            # dropped: null title
+        (4, "Engineer", "Other"),
+    ]
+    df = spark.createDataFrame(rows, "arrival_idx int, title string, company string")
+    got = sorted(r.arrival_idx for r in dedup_company_title(df).collect())
+    assert got == [0, 4]
+
+
+def test_anti_join_seen(spark):
+    batch = spark.createDataFrame([("a",), ("b",), ("c",)], "url_canon string")
+    seen = spark.createDataFrame([("b",)], "url_canon string")
+    got = sorted(r.url_canon for r in anti_join_seen(batch, seen).collect())
+    assert got == ["a", "c"]
+
+
+def test_exact_text_dedup(spark):
+    rows = [
+        ("d1", "Hello   World"),
+        ("d2", "hello world"),        # same after normalize
+        ("d3", "different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.dup_count for r in exact_text_dedup(df).collect()}
+    assert got == {"d1": 2, "d3": 1}
+
+
+# --- Bloom -----------------------------------------------------------------
+
+def test_bloom_no_false_negatives_single_process():
+    bs = bloom.BloomShards(n_shards=8, m_bits=1 << 14, k=5)
+    keys = [f"https://h{i % 5}.example/jobs/{i}" for i in range(2000)]
+    for k in keys:
+        bs.add(k)
+    assert all(bs.might_contain(k) for k in keys)  # one-sided error
+    fresh = [f"https://new.example/x/{i}" for i in range(2000)]
+    fpr = sum(bs.might_contain(k) for k in fresh) / len(fresh)
+    assert fpr < 0.15  # loose bound; sized small deliberately
+
+
+def test_bloom_roundtrip_and_merge():
+    a = bloom.BloomShards(4, 1 << 12, 4)
+    b = bloom.BloomShards(4, 1 << 12, 4)
+    a.add("u1")
+    b.add("u2")
+    merged = bloom.BloomShards.from_rows(a.to_rows(), 4, 1 << 12, 4).merge(b)
+    assert merged.might_contain("u1") and merged.might_contain("u2")
+
+
+def test_distributed_build_matches_oracle(spark):
+    keys = [f"https://host{i % 7}.example/j/{i}" for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], "url_canon string")
+    n_shards, m_bits, k = 16, 1 << 14, 5
+    shard_df = bloom.build_shards(df, "url_canon", n_shards, m_bits, k)
+    built = bloom.collect_shards(shard_df, n_shards, m_bits, k)
+    oracle = bloom.BloomShards(n_shards, m_bits, k)
+    for key in keys:
+        oracle.add(key)
+    assert {s: bm.tobytes() for s, bm in built.bitmaps.items()} == {
+        s: bm.tobytes() for s, bm in oracle.bitmaps.items()
+    }
+
+
+def test_split_by_bloom_partitions_correctly(spark):
+    seen_keys = [f"https://a.example/{i}" for i in range(500)]
+    new_keys = [f"https://b.example/{i}" for i in range(500)]
+    bs = bloom.BloomShards(8, 1 << 15, 5)
+    for k in seen_keys:
+        bs.add(k)
+    batch = spark.createDataFrame(
+        [(k,) for k in seen_keys + new_keys], "url_canon string"
+    )
+    provably_new, maybe_seen = bloom.split_by_bloom(batch, spark, bs)
+    new_set = {r.url_canon for r in provably_new.collect()}
+    maybe_set = {r.url_canon for r in maybe_seen.collect()}
+    # every actually-seen key must land in maybe_seen (no false negatives)
+    assert set(seen_keys) <= maybe_set
+    # provably_new contains only truly-new keys
+    assert new_set <= set(new_keys)
+    assert new_set | maybe_set == set(seen_keys + new_keys)
