@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (crawl-parse-enrich over the
+sf0.001 documents table). ``queries()`` / ``oracle_sql()`` enumerate every
+implemented operator from SURVEY.md §2 with DuckDB-checkable oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse the sf0.001 documents into spans, extract features
+    (tech stack / experience / remote / benefits), aggregate per language.
+
+    Exercises the core path end-to-end: parquet scan -> Arrow-batched span
+    parse -> JVM feature expressions -> hash aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    from job_crawler_spark.crawl import parser
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url_canon"),
+        F.col("text").alias("page"),
+    )
+    parsed = parser.parse_pages(pages)
+    enriched = parser.enrich_documents(parsed.select("doc_id", "spans"))
+    langs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+    return (
+        enriched.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(F.size("features.tech_stack")).alias("n_tech_hits"),
+            F.sum(F.col("features.has_benefits").cast("long")).alias("n_with_benefits"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _plan_modules():
+    from job_crawler_spark.plans import (
+        crawlops,
+        events_plans,
+        frameworks_plans,
+        relational,
+        similarity,
+        textops,
+        tpch,
+    )
+
+    return [
+        crawlops,
+        events_plans,
+        frameworks_plans,
+        relational,
+        similarity,
+        textops,
+        tpch,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _plan_modules():
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _plan_modules():
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,225 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "crawl": {"urls_per_sec": ..., "urls": ...}}
+
+Query timings use the noop sink (full execution, no result materialization
+cost). The crawl number is the north-rule throughput: URLs fetched+parsed/sec
+through schedule -> fetch -> parse -> enrich on a synthetic frontier.
+
+Two-parallelism scaling evidence (BASELINE.md criterion) is produced by
+scaling_bench.py, which shells out to this machinery at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "60000"))
+
+HEADLINE = [
+    "tpch_pricing_summary",
+    "tpch_top_revenue_orders",
+    "tpch_nation_revenue",
+    "app_summary_join",
+    "api_performance",
+    "hourly_event_counts",
+    "user_sessions",
+    "quality_scores",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "emb_cosine_topk",
+    "emb_lsh_ann_topk",
+    "url_canonicalize",
+    "politeness_rank",
+    "seen_antijoin",
+]
+
+
+def _noop_run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def crawl_throughput(spark, n_urls: int, repeats: int = 1) -> dict:
+    """URLs fetched+parsed/sec through the engine dataflow:
+
+        parquet frontier scan -> canonicalize -> min_by dedup ->
+        politeness schedule -> Arrow fetch -> span parse -> enrich
+
+    The synthetic frontier is materialized to parquet OUTSIDE the timed
+    section (a real crawl reads its frontier from a table — generating the
+    synthetic world is not engine work). With ``repeats`` > 1 the timed
+    section runs N times and the MINIMUM is reported: this box shows up to
+    ~50% hypervisor CPU steal, so min-of-N is the only stable estimator of
+    engine capability.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from job_crawler_spark.crawl import fetcher, parser
+    from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
+    from job_crawler_spark.operators.dedup import first_wins_agg
+    from job_crawler_spark.operators.politeness import schedule_batch
+    from job_crawler_spark.sources import synth
+
+    robots = synth.robots_df(spark)
+    tmp = tempfile.mkdtemp(prefix="jcs_bench_frontier_")
+    frontier_path = f"{tmp}/frontier.parquet"
+    synth.seed_frontier(spark, n_urls).write.mode("overwrite").parquet(
+        frontier_path
+    )
+
+    def one_pass() -> tuple[int, float]:
+        t0 = time.perf_counter()
+        raw = spark.read.parquet(frontier_path)
+        canon = (
+            raw.withColumn("url_canon", canonicalize_url_col(F.col("url")))
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("neg_priority", -F.col("priority"))
+        )
+        deduped = (
+            first_wins_agg(canon, ["url_canon"], ["neg_priority", "url"])
+            .select("url_canon", "host", "depth", "priority", "round")
+            .persist()
+        )
+        # uncapped drain round: budgets never truncate -> salting phase off
+        batch = schedule_batch(
+            deduped, robots, round_seconds=10_000_000, salted=False
+        )
+        fetched = fetcher.fetch_pages(batch)
+        parsed = parser.parse_pages(
+            fetched.filter(F.col("fetch_ok")).select("url_canon", "page")
+        )
+        enriched = parser.enrich_documents(parsed.select("doc_id", "spans"))
+        n_docs = enriched.count()
+        dt = time.perf_counter() - t0
+        deduped.unpersist()
+        return int(n_docs), dt
+
+    best_docs, best_dt = one_pass()
+    times = [best_dt]
+    for _ in range(repeats - 1):
+        docs, dt = one_pass()
+        times.append(dt)
+        if dt < best_dt:
+            best_docs, best_dt = docs, dt
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "urls": n_urls,
+        "docs_parsed": best_docs,
+        "seconds": round(best_dt, 3),
+        "urls_per_sec": round(best_docs / best_dt, 1),
+        "all_seconds": [round(t, 3) for t in times],
+    }
+
+
+def fetch_parse_throughput(spark, n_urls: int, repeats: int = 1) -> dict:
+    """Data-plane throughput: URLs fetched+parsed/sec over a PRE-SCHEDULED
+    batch (the inner loop of every crawl round).
+
+    Scheduling/dedup are control-plane work whose latency is per-ROUND, not
+    per-URL — at 10^10-frontier scale a round is ~10^7 URLs and the ~10 s
+    control-plane cost is noise; in a sandbox-sized bench it would swamp the
+    measurement. crawl_throughput() reports the end-to-end number including
+    it; this function is the scaling-efficiency gate (the fetch+parse stage
+    is what must scale linearly with executors).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from job_crawler_spark.crawl import fetcher, parser
+    from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
+    from job_crawler_spark.operators.dedup import first_wins_agg
+    from job_crawler_spark.operators.politeness import schedule_batch
+    from job_crawler_spark.sources import synth
+
+    tmp = tempfile.mkdtemp(prefix="jcs_bench_batch_")
+    batch_path = f"{tmp}/batch.parquet"
+    raw = synth.seed_frontier(spark, n_urls)
+    canon = (
+        raw.withColumn("url_canon", canonicalize_url_col(F.col("url")))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("neg_priority", -F.col("priority"))
+    )
+    deduped = first_wins_agg(canon, ["url_canon"], ["neg_priority", "url"]).select(
+        "url_canon", "host", "depth", "priority", "round"
+    )
+    schedule_batch(
+        deduped, synth.robots_df(spark), round_seconds=10_000_000, salted=False
+    ).write.mode("overwrite").parquet(batch_path)
+
+    def one_pass() -> tuple[int, float]:
+        t0 = time.perf_counter()
+        batch = spark.read.parquet(batch_path)
+        fetched = fetcher.fetch_pages(batch)
+        parsed = parser.parse_pages(
+            fetched.filter(F.col("fetch_ok")).select("url_canon", "page")
+        )
+        enriched = parser.enrich_documents(parsed.select("doc_id", "spans"))
+        n_docs = enriched.count()
+        return int(n_docs), time.perf_counter() - t0
+
+    best_docs, best_dt = one_pass()
+    times = [best_dt]
+    for _ in range(repeats - 1):
+        docs, dt = one_pass()
+        times.append(dt)
+        if dt < best_dt:
+            best_docs, best_dt = docs, dt
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "urls": n_urls,
+        "docs_parsed": best_docs,
+        "seconds": round(best_dt, 3),
+        "urls_per_sec": round(best_docs / best_dt, 1),
+        "all_seconds": [round(t, 3) for t in times],
+    }
+
+
+def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_URLS) -> dict:
+    from job_crawler_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("jcs-bench", cores=cpus)
+    queries = entry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        _noop_run(df)  # warm: plan + scan caches
+        t0 = time.perf_counter()
+        _noop_run(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    crawl = crawl_throughput(spark, crawl_urls)
+    spark.stop()
+
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

@@ -35,11 +35,23 @@ def fetch_failure(url_canon: str) -> bool:
     return _page_seed(url_canon) % 50 == 0
 
 
-def fetch_pages(batch: DataFrame) -> DataFrame:
-    """Scheduled batch -> pages. Narrow, Arrow-batched, no shuffle.
+def fetch_pages(batch: DataFrame, rebalance: bool = True) -> DataFrame:
+    """Scheduled batch -> pages. Arrow-batched mapInPandas.
 
     Input needs columns url_canon/host/depth/priority/host_rank.
+
+    ``rebalance``: the scheduler's window rank leaves the batch partitioned
+    BY HOST — with hot-domain skew (one job board owning 40% of the
+    frontier) that serializes fetch+parse onto one task. Round-robin
+    repartition spreads the batch evenly across all cores before the
+    Python stage; the shuffle moves only URL-sized rows (pages don't exist
+    yet), so it costs ~nothing relative to the skew it removes. This is the
+    north rule's "salted repartition-by-host" applied at the fetch boundary.
     """
+    if rebalance:
+        sess = batch.sparkSession
+        parallelism = int(sess.conf.get("spark.default.parallelism", "32"))
+        batch = batch.repartition(parallelism * 2)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -43,7 +43,7 @@ from job_crawler_spark.catalog import Catalog
 from job_crawler_spark.crawl import fetcher, parser
 from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
 from job_crawler_spark.operators import bloom
-from job_crawler_spark.operators.dedup import anti_join_seen, first_wins
+from job_crawler_spark.operators.dedup import anti_join_seen, first_wins_agg
 from job_crawler_spark.operators.politeness import schedule_batch
 
 CHECKPOINT_SCHEMA = T.StructType(
@@ -107,15 +107,13 @@ class CrawlEngine:
             .filter(F.col("host") != "")
         )
         # survivor per canon URL: highest priority, then smallest raw url —
-        # total order => deterministic under any partitioning
-        deduped = (
-            first_wins(
-                canon.withColumn("neg_priority", -F.col("priority")),
-                ["url_canon"],
-                ["neg_priority", "url"],
-            )
-            .select("url_canon", "host", "depth", "priority", "round")
-        )
+        # total order => deterministic under any partitioning; min_by
+        # aggregate form (map-side combine, no per-key sort)
+        deduped = first_wins_agg(
+            canon.withColumn("neg_priority", -F.col("priority")),
+            ["url_canon"],
+            ["neg_priority", "url"],
+        ).select("url_canon", "host", "depth", "priority", "round")
         fv = self.catalog.overwrite(deduped, self.T_FRONTIER)
         empty_seen = self.spark.createDataFrame([], schema=schemas.SEEN_SCHEMA)
         sv = self.catalog.overwrite(empty_seen, self.T_SEEN)

@@ -41,11 +41,10 @@ def host_col(url: Column) -> Column:
 
 
 def _is_tracking(pair: Column) -> Column:
+    # isin() evaluates the split exactly once (vs an OR-chain of equality
+    # checks, which would duplicate the split per comparison)
     key = F.split(pair, "=", 2).getItem(0)
-    cond = key.startswith("utm_")
-    for k in TRACKING_KEYS:
-        cond = cond | (key == F.lit(k))
-    return cond
+    return key.startswith("utm_") | key.isin(*TRACKING_KEYS)
 
 
 def canonical_query_col(url: Column) -> Column:

@@ -40,6 +40,26 @@ def first_wins(
     return out if keep_rank_col else out.drop("__rank")
 
 
+def first_wins_agg(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """first_wins as a hash aggregate: min_by(struct(*), struct(order)).
+
+    Same semantics as the window form when order_cols is a total order, but
+    NO per-key sort: partial aggregation combines map-side, shuffling one
+    survivor candidate per key per partition instead of every row — at
+    10^10-URL frontiers this is the difference between a sort of the world
+    and a cheap combine. Use the window form only when a rank number is
+    actually needed."""
+    order = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*key_cols).agg(F.min_by(payload, order).alias("__row"))
+    return agg.select(
+        *[F.col(f"__row.{c}").alias(c) for c in df.columns if c not in key_cols],
+        *key_cols,
+    ).select(*df.columns)
+
+
 def dedup_company_title(df: DataFrame, arrival_col: str = "arrival_idx") -> DataFrame:
     """The reference's in-batch dedup key: lower(company)_lower(title) with
     null/empty-key rows dropped (main.py:517-525, P3)."""

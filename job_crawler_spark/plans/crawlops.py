@@ -1,0 +1,229 @@
+"""Crawl-operator plans with DuckDB oracles.
+
+The crawl engine's core operators (URL canonicalization, politeness window
+rank, first-wins dedup, URL-seen anti-join) re-expressed over a frontier
+DERIVED from the driver's orders table with SQL-expressible transforms, so
+the driver's DuckDB gate checks them end-to-end. The engine's own
+Bloom/round-loop paths are checked by the oracle tests in
+tests/test_crawl_round.py (non-SQL-expressible; rows-only entries below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
+
+HOST_BUDGET = 5
+
+
+def frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy raw URLs derived from orders: mixed-case host, unsorted query
+    keys, tracking params on every 3rd row (FIXTURES.md §2 shape)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.concat(
+        F.lit("https://Board"),
+        (F.col("o_orderkey") % 7),
+        F.lit(".Example.com/jobs/"),
+        F.col("o_orderkey"),
+        F.lit("?b="),
+        (F.col("o_orderkey") % 3),
+        F.lit("&a=1"),
+        F.when((F.col("o_orderkey") % 3) == 0, F.lit("&utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    priority = ((F.col("o_orderkey") * 1103515245) % 64) / 64.0
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        url.alias("url"),
+        priority.alias("priority"),
+    )
+
+
+FRONTIER_SQL = """
+    SELECT o_orderkey AS id,
+           'https://Board' || CAST(o_orderkey % 7 AS VARCHAR)
+             || '.Example.com/jobs/' || CAST(o_orderkey AS VARCHAR)
+             || '?b=' || CAST(o_orderkey % 3 AS VARCHAR) || '&a=1'
+             || CASE WHEN o_orderkey % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+             AS url,
+           (o_orderkey * 1103515245) % 64 / 64.0 AS priority
+    FROM orders
+"""
+
+# DuckDB replica of functions/urls.py canonicalization (same regexes,
+# same tracking-key rules, same sort).
+_CANON_SQL = """
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) || '://'
+    || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+    || CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+            THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) END
+    || CASE WHEN array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+              p -> len(p) > 0 AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+                   AND NOT list_contains(
+                       ['fbclid','gclid','msclkid','mc_cid','mc_eid','ref',
+                        'sessionid','sid','trk'], string_split(p, '=')[1]))), '&') = ''
+            THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+              p -> len(p) > 0 AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+                   AND NOT list_contains(
+                       ['fbclid','gclid','msclkid','mc_cid','mc_eid','ref',
+                        'sessionid','sid','trk'], string_split(p, '=')[1]))), '&')
+       END
+"""
+
+_HOST_SQL = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))"
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule canonicalization over the derived frontier."""
+    f = frontier_df(spark, sf_dir)
+    return f.select(
+        "id",
+        canonicalize_url_col(F.col("url")).alias("url_canon"),
+        host_col(F.col("url")).alias("host"),
+    )
+
+
+Q_URL_CANON_SQL = f"""
+    WITH f AS ({FRONTIER_SQL})
+    SELECT id, {_CANON_SQL} AS url_canon, {_HOST_SQL} AS host FROM f
+"""
+
+
+def q_politeness_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-host budgeted window rank with the (priority DESC, url ASC)
+    total order — the politeness priority queue as a plain query."""
+    f = frontier_df(spark, sf_dir).select(
+        canonicalize_url_col(F.col("url")).alias("url_canon"),
+        host_col(F.col("url")).alias("host"),
+        "priority",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url_canon").asc()
+    )
+    return (
+        f.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= HOST_BUDGET)
+        .orderBy("host", "host_rank")
+    )
+
+
+Q_POLITENESS_SQL = f"""
+    WITH f AS ({FRONTIER_SQL}),
+    c AS (SELECT {_CANON_SQL} AS url_canon, {_HOST_SQL} AS host, priority FROM f),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                ORDER BY priority DESC, url_canon ASC) AS host_rank
+      FROM c
+    )
+    SELECT url_canon, host, priority, host_rank FROM ranked
+    WHERE host_rank <= {HOST_BUDGET} ORDER BY host, host_rank
+"""
+
+
+def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/U2: first occurrence per dedup key in arrival order (id) — the
+    reference's in-batch seen-set scan (main.py:517-525) as a window rank."""
+    from job_crawler_spark.plans.relational import jobs_df
+
+    jobs = jobs_df(spark, sf_dir)
+    key = F.concat_ws(
+        "_", F.lower(F.col("company")), F.lower(F.col("title"))
+    )
+    w = Window.partitionBy("dedup_key").orderBy(F.col("id").asc())
+    return (
+        jobs.withColumn("dedup_key", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dedup_key", "id", "company", "title")
+        .orderBy("dedup_key")
+    )
+
+
+def _first_wins_sql() -> str:
+    from job_crawler_spark.plans.relational import JOBS_SQL
+
+    return f"""
+        WITH j AS ({JOBS_SQL}),
+        k AS (SELECT *, lower(company) || '_' || lower(title) AS dedup_key FROM j),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dedup_key
+                      ORDER BY id ASC) AS rn FROM k)
+        SELECT dedup_key, id, company, title FROM r WHERE rn = 1
+        ORDER BY dedup_key
+    """
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 exact path: frontier URLs not in the seen set (even ids are seen).
+    left_anti == NOT EXISTS; Catalyst plans a broadcast anti-join when the
+    seen side fits, else shuffled hash anti-join."""
+    f = frontier_df(spark, sf_dir).select(
+        "id", canonicalize_url_col(F.col("url")).alias("url_canon")
+    )
+    seen = f.filter(F.col("id") % 2 == 0).select("url_canon")
+    return (
+        f.join(seen, "url_canon", "left_anti")
+        .select("id", "url_canon")
+        .orderBy("id")
+    )
+
+
+Q_SEEN_ANTIJOIN_SQL = f"""
+    WITH f AS ({FRONTIER_SQL}),
+    c AS (SELECT id, {_CANON_SQL} AS url_canon FROM f),
+    seen AS (SELECT url_canon FROM c WHERE id % 2 = 0)
+    SELECT id, url_canon FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url_canon = c.url_canon)
+    ORDER BY id
+"""
+
+
+def q_host_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics the scheduler's salting decisions come from:
+    per-host frontier share (the previous-round counts in SURVEY.md §7.3)."""
+    f = frontier_df(spark, sf_dir)
+    total = f.count()
+    from job_crawler_spark.functions.compat import stable_round
+
+    return (
+        f.select(host_col(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .withColumn("share", stable_round(F.col("n_urls") / F.lit(float(total)), 6))
+        .orderBy(F.col("n_urls").desc(), F.col("host").asc())
+    )
+
+
+def _host_skew_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    share = stable_round_sql(
+        "COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM f)", 6
+    )
+    return f"""
+        WITH f AS ({FRONTIER_SQL})
+        SELECT {_HOST_SQL} AS host, COUNT(*) AS n_urls, {share} AS share
+        FROM f GROUP BY 1 ORDER BY n_urls DESC, host ASC
+    """
+
+
+QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "politeness_rank": q_politeness_rank,
+    "first_wins_dedup": q_first_wins_dedup,
+    "seen_antijoin": q_seen_antijoin,
+    "host_skew_profile": q_host_skew_profile,
+}
+
+ORACLES = {
+    "url_canonicalize": Q_URL_CANON_SQL,
+    "politeness_rank": Q_POLITENESS_SQL,
+    "first_wins_dedup": _first_wins_sql(),
+    "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
+    "host_skew_profile": _host_skew_sql(),
+}

@@ -1,0 +1,211 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference's monitoring loop is an unbounded periodic metrics source with
+sliding-window aggregation and retention watermarks (SURVEY.md §2.9 T1-T3;
+performance_monitor.py:66-90, monitoring_service.py:82-106). Here those
+semantics run as batch plans over the events table — the identical
+DataFrame code runs under Structured Streaming (readStream + window() +
+withWatermark) because only time-window groupBys and stateless projections
+are used; streaming/metrics.py wires that form.
+
+No wall clock: the watermark anchor is MAX(ts) in the data, not now().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
+SESSION_GAP_MIN = 30
+RETENTION_DAYS = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: tumbling 1-hour windows per event type (top 50 busiest hours,
+    deterministic tiebreak). window() form in streaming/metrics.py."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n").desc(), F.col("hour").asc(), F.col("event_type").asc())
+        .limit(50)
+    )
+
+
+Q_HOURLY_SQL = f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           {stable_round_sql('SUM(value)', 2)} AS total_value
+    FROM events GROUP BY 1, 2
+    ORDER BY n DESC, hour ASC, event_type ASC LIMIT 50
+"""
+
+
+def q_retention_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: retention watermark — events older than MAX(ts) - 30d are
+    expirable. Watermark via scalar-agg broadcast join (no driver round trip;
+    at scale the max(ts) side is one row, broadcast for free)."""
+    ev = _events(spark, sf_dir)
+    wm = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {RETENTION_DAYS} DAYS")).alias("wm")
+    )
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("wm"), 1).otherwise(0)).alias(
+                "expirable"
+            ),
+            F.sum(F.when(F.col("ts") >= F.col("wm"), 1).otherwise(0)).alias(
+                "retained"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_RETENTION_SQL = f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL {RETENTION_DAYS} DAY AS wm FROM events)
+    SELECT event_type,
+           SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS expirable,
+           SUM(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS retained
+    FROM events, wm GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T3 composition: per-day error rate with zero-guard (the
+    reference's api error-rate threshold math, performance_monitor.py:80)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .withColumn(
+            "error_rate",
+            F.when(
+                F.col("n_events") > 0,
+                stable_round(F.col("n_errors") / F.col("n_events"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("day")
+    )
+
+
+Q_DAILY_ERROR_SQL = f"""
+    SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CASE WHEN COUNT(*) > 0 THEN
+             {stable_round_sql(
+                 "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+                 " / CAST(COUNT(*) AS DOUBLE)", 6)}
+           ELSE 0.0 END AS error_rate
+    FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session-start flags — the classic two-window stateful-ish analytic,
+    batch form of applyInPandasWithState session tracking."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(ts_us - F.lag(ts_us).over(w) > gap_us, 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_idx").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_USER_SESSIONS_SQL = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+             WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                  > {SESSION_GAP_MIN * 60 * 1_000_000}
+               THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, MAX(session_idx) AS n_sessions, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 + A-ops: distinct users and share of total per event type."""
+    ev = _events(spark, sf_dir)
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("share", stable_round(F.col("n") / F.lit(float(total)), 6))
+        .orderBy("event_type")
+    )
+
+
+Q_EVENT_TYPE_SHARE_SQL = f"""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           {stable_round_sql(
+               "COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events)", 6)}
+               AS share
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "hourly_event_counts": q_hourly_event_counts,
+    "retention_split": q_retention_split,
+    "daily_error_rate": q_daily_error_rate,
+    "user_sessions": q_user_sessions,
+    "event_type_share": q_event_type_share,
+}
+
+ORACLES = {
+    "hourly_event_counts": Q_HOURLY_SQL,
+    "retention_split": Q_RETENTION_SQL,
+    "daily_error_rate": Q_DAILY_ERROR_SQL,
+    "user_sessions": Q_USER_SESSIONS_SQL,
+    "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
+}

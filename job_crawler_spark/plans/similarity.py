@@ -1,0 +1,305 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+Training-data ANN operators, Spark-first:
+
+- brute-force cosine top-k (the correctness baseline): cross join pruned to
+  query rows, dot products via ``zip_with``/``aggregate`` higher-order
+  functions — JVM codegen, no UDF;
+- sign-bit LSH bucketing (axis-aligned hyperplanes on the first SIGN_BITS
+  dims): the scale path — at 10^10 vectors the bucket id is the shuffle key
+  and each bucket is searched independently (an IVF-style partition);
+- element-wise centroid aggregation per label (posexplode + hash agg);
+- kNN label voting (majority with deterministic tiebreak).
+
+Cross-engine determinism: components are float32 in parquet; both engines
+cast float->double (exact) before multiplying, accumulate left-to-right, and
+final cosines go through the dialect-stable rounding in functions/compat so
+rank ties break identically ((cos DESC, neighbor ASC) total order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
+N_QUERIES = 20       # query vectors for top-k demos
+TOP_K = 5
+NEARDUP_TAU = 0.35   # driver embeddings are near-orthogonal (max cos ~0.48)
+SIGN_BITS = 4        # LSH bucket bits -> 16 buckets
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cos4(a: F.Column, b: F.Column) -> F.Column:
+    return stable_round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos4_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return stable_round_sql(f"({dot}) / (({na}) * ({nb}))", 4)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 neighbors for the first N_QUERIES vectors.
+
+    The broadcast side is the tiny query set — the big side streams once
+    (this is the shape that survives 100x scale-up: queries broadcast,
+    corpus scanned, per-query heap via window rank)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos4(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _cosine_topk_sql() -> str:
+    cos = _cos4_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a<b, cos >= tau). Full pairwise here;
+    at scale the LSH buckets below prune the candidate set first."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", _cos4(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_TAU)
+        .orderBy("a", "b")
+    )
+
+
+def _neardup_sql() -> str:
+    cos = _cos4_sql("x.embedding", "y.embedding")
+    return f"""
+        SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS cos
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE {cos} >= {NEARDUP_TAU}
+        ORDER BY a, b
+    """
+
+
+def _bucket_col(e: F.Column) -> F.Column:
+    bits = [
+        F.when(F.element_at(e, i + 1) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        for i in range(SIGN_BITS)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def _bucket_sql(e: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {e}[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(SIGN_BITS)
+    )
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucket histogram — the IVF/LSH partition layout."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(_bucket_col(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def _lsh_bucket_stats_sql() -> str:
+    return f"""
+        SELECT {_bucket_sql('embedding')} AS bucket, COUNT(*) AS n
+        FROM embeddings GROUP BY 1 ORDER BY bucket
+    """
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: top-3 neighbors searched ONLY within the query's LSH
+    bucket — the join key is the bucket id, so the shuffle moves each vector
+    once and skew is bounded by bucket balance."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    scored = (
+        q.join(cands, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos4(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_ann_topk_sql() -> str:
+    cos = _cos4_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_bucket_sql('embedding')} AS bucket FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode -> (label, dim) hash agg.
+    Distributed vector aggregation without ever holding a vector in Python."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(stable_round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+        .filter(F.col("dim") < 8)
+        .orderBy("label", "dim")
+    )
+
+
+def _label_centroids_sql() -> str:
+    avg = stable_round_sql("AVG(CAST(v AS DOUBLE))", 4)
+    return f"""
+        WITH e AS (
+          SELECT label, g.i - 1 AS dim, embedding[g.i] AS v
+          FROM embeddings, (SELECT unnest(range(1, 9)) AS i) g
+        )
+        SELECT label, dim, {avg} AS centroid
+        FROM e GROUP BY label, dim ORDER BY label, dim
+    """
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among the top-5 neighbors
+    (ties -> smaller label). Composition of top-k + hash agg + rank."""
+    emb = _emb(spark, sf_dir)
+    topk = q_cosine_topk(spark, sf_dir)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+def _knn_label_vote_sql() -> str:
+    return f"""
+        WITH topk AS ({_cosine_topk_sql()}),
+        votes AS (
+          SELECT t.query_id, e.label, COUNT(*) AS votes
+          FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+          GROUP BY t.query_id, e.label
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, label ASC) AS r FROM votes
+        )
+        SELECT query_id, label AS predicted_label, votes FROM ranked
+        WHERE r = 1 ORDER BY query_id
+    """
+
+
+QUERIES = {
+    "emb_cosine_topk": q_cosine_topk,
+    "emb_neardup_pairs": q_neardup_pairs,
+    "emb_lsh_bucket_stats": q_lsh_bucket_stats,
+    "emb_lsh_ann_topk": q_lsh_ann_topk,
+    "emb_label_centroids": q_label_centroids,
+    "emb_knn_label_vote": q_knn_label_vote,
+}
+
+ORACLES = {
+    "emb_cosine_topk": _cosine_topk_sql(),
+    "emb_neardup_pairs": _neardup_sql(),
+    "emb_lsh_bucket_stats": _lsh_bucket_stats_sql(),
+    "emb_lsh_ann_topk": _lsh_ann_topk_sql(),
+    "emb_label_centroids": _label_centroids_sql(),
+    "emb_knn_label_vote": _knn_label_vote_sql(),
+}

@@ -1,0 +1,555 @@
+"""Text-analysis & dedup plans over the ``documents`` table.
+
+Training-data pipeline operators, each with a DuckDB oracle:
+
+- feature extraction (the reference parser's vocab/classifier semantics,
+  main.py:246-358, over the driver documents' text)
+- token counting (whitespace + BPE-ish regex)
+- quality scoring (length / punctuation / stopword ratios)
+- language guess (marker-word n-gram heuristic with deterministic argmax)
+- document fingerprinting (bag-of-words hash)
+- exact dedup (normalized-content MD5 hash-groupBy)
+- n-gram Jaccard near-dup pairs (3-gram shingles, explode + self-join)
+- MinHash + LSH banding candidate pairs
+
+Determinism across engines: hashing is MD5 (identical everywhere),
+MinHash minima are lexicographic MINs over hex strings (no integer
+conversion — avoids dialect-specific hex parsing), all arrays use 1-based
+``element_at`` / ``t[i]`` indexing which Spark and DuckDB share.
+
+Scale notes: every operator is one shuffle (hash aggregate or shingle
+self-join). The shingle join's fan-out is bounded by dropping shingles that
+occur in > MAX_DF docs (stop-shingles contribute O(df^2) candidate pairs but
+carry no near-dup signal — standard LSH/SSJ trick); at 100 TB the MinHash-LSH
+path replaces the exact shingle join entirely, and band buckets are the only
+shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.text import TECH_KEYWORDS
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "fast", "small"),
+    "de": ("der", "die", "und", "schnell", "klein"),
+    "es": ("el", "la", "y", "rapido", "pequeno"),
+}
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+NGRAM = 3
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+MAX_DF = 200  # stop-shingle cutoff for the exact jaccard join
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_col() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --- feature extraction over driver documents --------------------------------
+
+def q_doc_tech_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5: exploded (doc_id, tech) hits, vocabulary-order preserved by
+    construction (filter over the literal vocab array)."""
+    vocab = F.array(*[F.lit(k) for k in TECH_KEYWORDS])
+    lc = F.lower(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.filter(vocab, lambda t: lc.contains(t))).alias("tech"),
+        )
+        .orderBy("doc_id", "tech")
+    )
+
+
+_VOCAB_SQL = "[" + ", ".join(f"'{k}'" for k in TECH_KEYWORDS) + "]"
+Q_DOC_TECH_STACK_SQL = f"""
+    SELECT doc_id,
+           unnest(list_filter({_VOCAB_SQL}, x -> contains(lower(text), x))) AS tech
+    FROM documents ORDER BY doc_id, tech
+"""
+
+
+def q_doc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 first-match-wins classifiers + F3 benefit detection, aggregated."""
+    from job_crawler_spark.functions.text import (
+        experience_level_col,
+        has_benefits_col,
+        remote_policy_col,
+    )
+
+    lc = F.lower(F.col("text"))
+    per_doc = _docs(spark, sf_dir).select(
+        "doc_id",
+        experience_level_col(lc, lc).alias("experience_level"),
+        remote_policy_col(lc).alias("remote_policy"),
+        has_benefits_col(lc).alias("has_benefits"),
+    )
+    return (
+        per_doc.groupBy("experience_level", "remote_policy")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("has_benefits").cast("long")).alias("n_benefits"),
+        )
+        .orderBy("experience_level", "remote_policy")
+    )
+
+
+def _first_match_sql(indicators: dict[str, tuple[str, ...]], hay: str) -> str:
+    branches = []
+    for label, kws in indicators.items():
+        cond = " OR ".join(f"contains({hay}, '{k}')" for k in kws)
+        branches.append(f"WHEN ({cond}) THEN '{label}'")
+    return "CASE " + " ".join(branches) + " ELSE 'not_specified' END"
+
+
+def _classification_sql() -> str:
+    from job_crawler_spark.functions.text import (
+        BENEFIT_KEYWORDS,
+        EXPERIENCE_INDICATORS,
+        REMOTE_INDICATORS,
+    )
+
+    exp = _first_match_sql(EXPERIENCE_INDICATORS, "lc")
+    rem = _first_match_sql(REMOTE_INDICATORS, "lc")
+    ben = " OR ".join(f"contains(lc, '{b}')" for b in BENEFIT_KEYWORDS)
+    return f"""
+        WITH d AS (SELECT doc_id, lower(text) AS lc FROM documents),
+        c AS (SELECT doc_id, {exp} AS experience_level, {rem} AS remote_policy,
+                     ({ben}) AS has_benefits FROM d)
+        SELECT experience_level, remote_policy, COUNT(*) AS n,
+               SUM(CASE WHEN has_benefits THEN 1 ELSE 0 END) AS n_benefits
+        FROM c GROUP BY experience_level, remote_policy
+        ORDER BY experience_level, remote_policy
+    """
+
+
+# --- token counting -----------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_col()
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(F.size(toks))
+        .alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+Q_TOKEN_COUNTS_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_TOKENS_SQL}) END AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens
+    FROM documents
+"""
+
+
+# --- quality scoring -----------------------------------------------------------
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality heuristics; score in [0,1]."""
+    from job_crawler_spark.functions.compat import stable_round
+
+    toks = _tokens_col()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_chars = F.length("text")
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    stop_ratio = stable_round(n_stop / n_words, 4)
+    punct_ratio = stable_round(n_punct / n_chars, 4)
+    score = stable_round(
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.3
+        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2,
+        4,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(n_chars > 0)
+        .select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_words.alias("n_words"),
+            stop_ratio.alias("stop_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            score.alias("quality_score"),
+        )
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def _quality_scores_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    stop_ratio = stable_round_sql("n_stop / CAST(n_words AS DOUBLE)", 4)
+    punct_ratio = stable_round_sql("n_punct / CAST(n_chars AS DOUBLE)", 4)
+    score = stable_round_sql(
+        f"LEAST(1.0, n_words / 50.0) * 0.5"
+        f" + LEAST(1.0, {stop_ratio} * 5) * 0.3"
+        f" + (1 - LEAST(1.0, {punct_ratio} * 10)) * 0.2",
+        4,
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len({_TOKENS_SQL}) AS n_words,
+                 len(list_filter({_TOKENS_SQL}, w -> list_contains({_STOP_SQL}, w)))
+                     AS n_stop,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, n_chars, n_words,
+               {stop_ratio} AS stop_ratio,
+               {punct_ratio} AS punct_ratio,
+               {score} AS quality_score
+        FROM d
+    """
+
+
+# --- language guess -------------------------------------------------------------
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language id; deterministic argmax (ties -> insertion
+    order en, de, es). Compared against the driver's lang column."""
+    toks = _tokens_col()
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda w: F.array_contains(
+                F.array(*[F.lit(m) for m in markers]), w))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en"
+        )
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("lang").alias("labeled_lang"), guess.alias("guess"))
+        .groupBy("labeled_lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled_lang", "guess")
+    )
+
+
+def _lang_guess_sql() -> str:
+    def score(lang: str) -> str:
+        markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        return f"len(list_filter(t, w -> list_contains({markers}, w)))"
+
+    return f"""
+        WITH d AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
+        s AS (SELECT doc_id, lang, {score('en')} AS s_en, {score('de')} AS s_de,
+                     {score('es')} AS s_es FROM d),
+        g AS (SELECT lang AS labeled_lang,
+                     CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                          WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS guess
+              FROM s)
+        SELECT labeled_lang, guess, COUNT(*) AS n FROM g
+        GROUP BY labeled_lang, guess ORDER BY labeled_lang, guess
+    """
+
+
+# --- fingerprinting / exact dedup ------------------------------------------------
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint: MD5 over sorted distinct tokens."""
+    toks = _tokens_col()
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return _docs(spark, sf_dir).select("doc_id", fp.alias("fingerprint"))
+
+
+Q_FINGERPRINTS_SQL = f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' '))
+               AS fingerprint
+    FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groups with representative."""
+    from job_crawler_spark.operators.dedup import exact_text_dedup
+
+    return (
+        exact_text_dedup(_docs(spark, sf_dir))
+        .orderBy("content_hash")
+    )
+
+
+Q_EXACT_DUP_GROUPS_SQL = """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+
+# --- shingles / n-gram jaccard / minhash ------------------------------------------
+
+def _shingles_col() -> F.Column:
+    """Distinct word 3-gram shingles, 1-based indexing (matches t[i]).
+
+    The token array is let-bound (bind_once) so the split() tokenization runs
+    ONCE per row — without it Catalyst inlines the split into every
+    element_at reference, O(len^2) work per document."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    def build(toks: F.Column) -> F.Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+        return F.when(F.size(toks) >= NGRAM, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(_tokens_col(), build)
+
+
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKENS_SQL}) >= {NGRAM} THEN
+      list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - {NGRAM - 2}),
+        i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]))
+    ELSE [] END
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.5: explode distinct shingles,
+    drop stop-shingles (df > MAX_DF), self-join on shingle, count overlap.
+
+    |A ∩ B| over the non-stop shingle universe; |A|,|B| likewise — so the
+    oracle and Spark agree on the same filtered universe."""
+    docs = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
+    exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    df_counts = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # kept feeds three consumers (sizes + both join sides) — persist so the
+    # shingle explode runs once, not three times
+    kept = exploded.join(
+        df_counts.filter(F.col("df") <= MAX_DF).select("shingle"), "shingle"
+    ).persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("overlap")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("overlap")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "overlap", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+Q_NGRAM_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                        HAVING COUNT(*) <= {MAX_DF})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS overlap
+      FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, overlap,
+           ROUND(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE), 4) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+               JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE ROUND(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE), 4) >= 0.5
+    ORDER BY a, b
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 seeds, lexicographic MD5 minima) + LSH banding (4x4):
+    candidate pairs sharing any band bucket. Shuffle key = (band, band_hash)
+    — at 10^10 docs this replaces the exact shingle self-join entirely."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+
+    def sig_of(sh: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        sh, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x))
+                    )
+                )
+                for s in range(MINHASH_SEEDS)
+            ]
+        )
+
+    def bands_of(sig: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(sig, band * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for band in range(LSH_BANDS)
+            ]
+        )
+
+    # nested let-bindings: shingles evaluated once -> signature evaluated
+    # once -> band array; the whole MinHash is a single projection pass
+    band_array = bind_once(
+        _shingles_col(), lambda sh: F.when(F.size(sh) > 0, bind_once(sig_of(sh), bands_of))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", band_array.alias("ba"))
+    bands = (
+        docs.filter(F.col("ba").isNotNull())
+        .select("doc_id", F.explode("ba").alias("bb"))
+        .select("doc_id", "bb.band", "bb.band_hash")
+        .persist()  # both self-join sides read it
+    )
+    x = bands.select(F.col("doc_id").alias("a"), "band", "band_hash")
+    y = bands.select(F.col("doc_id").alias("b"), "band", "band_hash")
+    return (
+        x.join(y, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def _minhash_sql() -> str:
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))"
+        for s in range(MINHASH_SEEDS)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'band_hash': md5(%s)}"
+        % (
+            band,
+            " || '|' || ".join(
+                f"sig[{band * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for band in range(LSH_BANDS)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+        s AS (SELECT doc_id, [{sig_items}] AS sig FROM d WHERE len(sh) > 0),
+        bands AS (
+          SELECT doc_id, unnest([{band_structs}],  recursive := true)
+          FROM s
+        )
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+        ORDER BY a, b
+    """
+
+
+# --- multimodal payload plumbing ---------------------------------------------------
+
+def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (multimodal path): payload bytes +
+    content hash + size, aggregated per source. The payload here is the
+    utf-8 text encoding — the schema/partitioning contract is identical for
+    image/audio bytes (decode stubs live in operators/multimodal.py)."""
+    d = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "utf-8"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_MEDIA_PAYLOAD_STATS_SQL = """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "doc_tech_stack": q_doc_tech_stack,
+    "doc_classification": q_doc_classification,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_guess": q_lang_guess,
+    "fingerprints": q_fingerprints,
+    "exact_dup_groups": q_exact_dup_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "media_payload_stats": q_media_payload_stats,
+}
+
+ORACLES = {
+    "doc_tech_stack": Q_DOC_TECH_STACK_SQL,
+    "doc_classification": _classification_sql(),
+    "token_counts": Q_TOKEN_COUNTS_SQL,
+    "quality_scores": _quality_scores_sql(),
+    "lang_guess": _lang_guess_sql(),
+    "fingerprints": Q_FINGERPRINTS_SQL,
+    "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
+    "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_lsh_pairs": _minhash_sql(),
+    "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,
+}

@@ -1,0 +1,177 @@
+"""TPC-H-shaped anchor queries over the driver star schema.
+
+These are the bench headliners: classic scan-heavy aggregate, selective
+join, and top-k shapes whose plans must show pushed filters, pruned columns,
+broadcast dims, and partial aggregation (checked in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan, selective date filter, 4-group hash agg.
+    Whole plan is one scan + partial/final agg — zero joins, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            stable_round(F.sum(charge), 2).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {stable_round_sql("SUM(l_quantity)", 2)} AS sum_qty,
+           {stable_round_sql("SUM(l_extendedprice)", 2)} AS sum_base_price,
+           {stable_round_sql("SUM(l_extendedprice * (1 - l_discount))", 2)}
+               AS sum_disc_price,
+           {stable_round_sql(
+               "SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)}
+               AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast customer dim), filtered on both
+    sides, revenue agg, top-10. AQE picks broadcast for customer; lineitem
+    never shuffles more than once."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q_TOP_REVENUE_SQL = f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {stable_round_sql("SUM(l_extendedprice * (1 - l_discount))", 2)}
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: snowflake join through two broadcast dims + regional agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q_NATION_REVENUE_SQL = f"""
+    SELECT r_name, n_name,
+           {stable_round_sql("SUM(l_extendedprice * (1 - l_discount))", 2)}
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_part_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: 3 cheapest parts per brand by retail price —
+    the same two-phase-able rank pattern as the politeness scheduler."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+Q_PART_TOPK_SQL = """
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice ASC, p_partkey ASC) AS rank
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, rank FROM ranked
+    WHERE rank <= 3 ORDER BY p_brand, rank
+"""
+
+
+QUERIES = {
+    "tpch_pricing_summary": q_pricing_summary,
+    "tpch_top_revenue_orders": q_top_revenue_orders,
+    "tpch_nation_revenue": q_nation_revenue,
+    "part_brand_topk": q_part_supplier_topk,
+}
+
+ORACLES = {
+    "tpch_pricing_summary": Q_PRICING_SQL,
+    "tpch_top_revenue_orders": Q_TOP_REVENUE_SQL,
+    "tpch_nation_revenue": Q_NATION_REVENUE_SQL,
+    "part_brand_topk": Q_PART_TOPK_SQL,
+}

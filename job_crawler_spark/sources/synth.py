@@ -201,6 +201,45 @@ _BENEFIT_SETS = (
     "",  # no benefits
 )
 
+# Filler paragraphs bring synthetic pages to realistic job-posting size
+# (~2-3 KB). Real listings are kilobytes of prose; benchmarking on 300-byte
+# pages would overstate fixed-cost share and understate parse throughput.
+_FILLER_SENTENCES = (
+    "You will collaborate with product managers and designers to ship "
+    "features that customers love, participating in code reviews and "
+    "architectural discussions across the engineering organisation.",
+    "Our interview process consists of a phone screen, a take-home "
+    "exercise reviewed together, and a final onsite loop covering systems "
+    "design, coding, and a values conversation with the team.",
+    "We operate a blameless postmortem culture, invest in developer "
+    "tooling, and hold a quarterly hack week where anyone can prototype "
+    "ideas that frequently graduate into the production roadmap.",
+    "The team owns its services end to end, from design through "
+    "deployment and operations, with on-call rotations compensated and "
+    "capped to protect work-life balance for every engineer.",
+    "Applicants should be comfortable working in a distributed team "
+    "across European time zones, communicating asynchronously through "
+    "written design documents and recorded demos.",
+    "We sponsor visas where applicable, offer relocation assistance, and "
+    "run a structured onboarding programme pairing every new joiner with "
+    "an experienced buddy for their first ninety days.",
+    "Compensation is benchmarked annually against market data, with "
+    "equity refreshers and a transparent levelling framework published "
+    "internally for every role in the company.",
+    "Diversity and inclusion are core to how we hire: we use structured "
+    "interviews, diverse panels, and anonymised exercise review to reduce "
+    "bias at every stage of the funnel.",
+)
+
+
+def _filler(seed: int) -> str:
+    # 6-10 sentences selected deterministically -> ~1.5-2.5 KB of prose
+    k = 6 + (seed % 5)
+    return " ".join(
+        _FILLER_SENTENCES[(seed >> (2 * j)) % len(_FILLER_SENTENCES)]
+        for j in range(k)
+    )
+
 
 def doc_id_for_url(url_canon: str) -> str:
     """Stable doc id: the canonical URL is the natural key (main.py:141)."""
@@ -208,11 +247,12 @@ def doc_id_for_url(url_canon: str) -> str:
 
 
 def _page_seed(url_canon: str) -> int:
-    """Deterministic int from the canonical URL (FNV-1a 32-bit)."""
-    h = 2166136261
-    for ch in url_canon.encode("utf-8"):
-        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-    return h
+    """Deterministic 32-bit int from the canonical URL (crc32 — C-speed,
+    stable across processes; shared by the Spark fetch stage and the
+    single-process oracle so page contents agree by construction)."""
+    import zlib
+
+    return zlib.crc32(url_canon.encode("utf-8")) & 0xFFFFFFFF
 
 
 def page_for_url(url_canon: str) -> str:
@@ -238,6 +278,7 @@ def page_for_url(url_canon: str) -> str:
         parts.append(exp)
     if remote:
         parts.append(remote)
+    parts.append(_filler(s))
     page = " ".join(parts)
     page += f" <img:logo_{s % 97}.png>"
     if (s >> 18) % 4 != 0:  # 3/4 of pages carry a salary line

@@ -1,0 +1,43 @@
+"""Every queries() entry must match its oracle_sql() on DuckDB at sf0.001 —
+the same gate the driver runs at sf0.01 (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import compare, duck_conn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _entry_maps():
+    import __spark_entry__ as entry
+
+    return entry.queries(), entry.oracle_sql()
+
+
+QUERIES, ORACLES = _entry_maps()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    df = QUERIES[name](spark, SF_DIR)
+    compare(df, con, ORACLES[name])
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rows_only_queries_run(spark):
+    """Entries without an oracle still must execute and return a DataFrame."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
