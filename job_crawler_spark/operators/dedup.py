@@ -82,6 +82,78 @@ def anti_join_seen(
     return batch.join(seen.select(key), on=key, how="left_anti")
 
 
+SIMHASH_BITS = 32
+
+
+def simhash_col(tokens, bits: int = SIMHASH_BITS):
+    """Per-document SimHash signature as a pure column expression.
+
+    Classic Charikar SimHash over the token multiset: each token hashes to
+    ``bits`` bits (here: first 8 hex chars of MD5 — chosen so DuckDB computes
+    the identical value for the oracle), each bit votes +1/-1, and the
+    signature keeps the sign of each bit's vote total.
+
+    Scale: this is a NARROW projection — a single higher-order fold per row,
+    no explode, no shuffle, whole computation inside the scan stage. At
+    10^10 docs the simhash stage costs exactly one pass over the text; only
+    the subsequent band self-join shuffles, keyed by (band, 8-bit key).
+    """
+    from job_crawler_spark.functions.compat import bind_once
+
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+
+    def fold(hs):
+        zero = F.array(*([F.lit(0).cast("long")] * bits))
+        votes = F.aggregate(
+            hs,
+            zero,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                        .otherwise(-1)
+                        .cast("long")
+                        for i in range(bits)
+                    ]
+                ),
+                lambda a, v: a + v,
+            ),
+        )
+
+        def assemble(v):
+            out = F.lit(0).cast("long")
+            for i in range(bits):
+                out = out + F.when(
+                    F.element_at(v, i + 1) > 0, F.lit(1 << i).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        return bind_once(votes, assemble)
+
+    return bind_once(hashes, fold)
+
+
+def simhash_bands_col(sim, n_bands: int = 4, band_bits: int = 8):
+    """Band keys for Hamming-LSH blocking: array of (band, key) structs.
+    Two docs within Hamming distance < n_bands share at least one band
+    (pigeonhole), so banding never misses pairs below that distance."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sim, b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def exact_text_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

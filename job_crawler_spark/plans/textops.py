@@ -11,6 +11,8 @@ Training-data pipeline operators, each with a DuckDB oracle:
 - exact dedup (normalized-content MD5 hash-groupBy)
 - n-gram Jaccard near-dup pairs (3-gram shingles, explode + self-join)
 - MinHash + LSH banding candidate pairs
+- SimHash signatures (shuffle-free higher-order fold) + Hamming-LSH
+  banded near-dup pairs
 
 Determinism across engines: hashing is MD5 (identical everywhere),
 MinHash minima are lexicographic MINs over hex strings (no integer
@@ -501,6 +503,99 @@ def _minhash_sql() -> str:
     """
 
 
+# --- simhash ------------------------------------------------------------------------
+
+SIMHASH_HAM_MAX = 3
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash signature (operators/dedup.simhash_col):
+    narrow projection, zero shuffles — direct value-parity check vs DuckDB."""
+    from job_crawler_spark.operators.dedup import simhash_col
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", simhash_col(_tokens_col()).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_SQL_CTE = f"""
+    d AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+          WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id,
+                 list_transform(t, x -> ('0x' || substr(md5(x),1,8))::BIGINT)
+                     AS hs,
+                 len(t) AS n
+          FROM d),
+    s AS (SELECT doc_id,
+                 (list_sum(list_transform(range(0,32), i ->
+                    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> i) & 1) = 1)) > n
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)))::BIGINT
+                     AS simhash
+          FROM h)
+"""
+
+Q_DOC_SIMHASH_SQL = f"""
+    WITH {_SIMHASH_SQL_CTE}
+    SELECT doc_id, simhash FROM s ORDER BY doc_id
+"""
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming-LSH banding (4 bands x 8 bits) then
+    exact bit_count(xor) <= {SIMHASH_HAM_MAX} verification. Pigeonhole
+    guarantees no pair under distance 4 is missed by the blocking, so the
+    only shuffle is the (band, key) self-join — never the full cross
+    product."""
+    from job_crawler_spark.operators.dedup import simhash_bands_col, simhash_col
+
+    sims = (
+        _docs(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", simhash_col(_tokens_col()).alias("sim"))
+        .persist()  # both self-join sides
+    )
+    bands = sims.select(
+        "doc_id", "sim", F.explode(simhash_bands_col(F.col("sim"))).alias("bk")
+    ).select("doc_id", "sim", "bk.band", "bk.key")
+    x = bands.select(
+        F.col("doc_id").alias("a"), F.col("sim").alias("sim_a"), "band", "key"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("b"), F.col("sim").alias("sim_b"), "band", "key"
+    )
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("a", "b", "hamming")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+Q_SIMHASH_DUP_PAIRS_SQL = f"""
+    WITH {_SIMHASH_SQL_CTE},
+    bands AS (
+      SELECT doc_id, simhash, r.range AS band,
+             (simhash >> (8 * r.range::INT)) & 255 AS key
+      FROM s, range(0,4) r
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_HAM_MAX}
+    ORDER BY a, b
+"""
+
+
 # --- multimodal payload plumbing ---------------------------------------------------
 
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +633,8 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "doc_simhash": q_doc_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "media_payload_stats": q_media_payload_stats,
 }
 
@@ -551,5 +648,7 @@ ORACLES = {
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
+    "doc_simhash": Q_DOC_SIMHASH_SQL,
+    "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,
     "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,
 }
