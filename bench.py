@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "60000"))
+# 1M URLs: large enough that per-URL cost dominates the ~2 s per-round fixed
+# latency (at 60k the fixed cost halves the reported throughput)
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "1000000"))
 
 HEADLINE = [
     "tpch_pricing_summary",

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the plan, not just the answer.
+
+Each assertion pins a scale property SURVEY.md §4 calls out: filters reach
+the parquet scan, small dims broadcast, aggregates combine map-side,
+narrow ops stay shuffle-free. A refactor that silently turns a broadcast
+join into a shuffled one, or adds a shuffle to the simhash projection,
+fails here long before it shows up as a 100-TB regression."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def n_hash_exchanges(plan: str) -> int:
+    # formatted mode lists each Exchange's partitioning in its detail block
+    return plan.count("hashpartitioning(")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_simhash_is_shuffle_free(spark, queries):
+    plan = explain_str(queries["doc_simhash"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 0, plan
+
+
+def test_url_canonicalize_is_narrow_and_codegen(spark, queries):
+    plan = explain_str(queries["url_canonicalize"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    # '*' marks whole-stage-codegen nodes in formatted mode
+    assert "* Project" in plan, plan
+
+
+def test_quality_scores_is_narrow(spark, queries):
+    plan = explain_str(queries["quality_scores"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_pricing_summary_partial_agg_and_column_pruning(spark, queries):
+    plan = explain_str(queries["tpch_pricing_summary"](spark, SF_DIR))
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan, plan
+    # column pruning: the 16-col lineitem scan must not read l_comment
+    assert "l_comment" not in plan, plan
+    # the date predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_app_summary_join_broadcasts_jobs(spark, queries):
+    plan = explain_str(queries["app_summary_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_politeness_rank_single_width_shuffle(spark, queries):
+    # one hashpartitioning exchange (the host window); the trailing
+    # rangepartitioning for ORDER BY is presentation, not dataflow
+    plan = explain_str(queries["politeness_rank"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    # Spark pushes the rank<=k filter into a map-side WindowGroupLimit, so
+    # only per-host top-k candidates cross the shuffle — keep it that way
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark, queries):
+    plan = explain_str(queries["emb_cosine_topk"](spark, SF_DIR))
+    assert "Broadcast" in plan, plan
+
+
+def test_schedule_batch_uncapped_skips_salting(spark):
+    """The adaptive scheduler must not pay the salted pre-rank when budgets
+    never truncate (salted=False fast path): exactly one window."""
+    from job_crawler_spark.operators.politeness import schedule_batch
+    from job_crawler_spark.sources import synth
+    from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
+    from pyspark.sql import functions as F
+
+    frontier = (
+        synth.seed_frontier(spark, 500)
+        .withColumn("url_canon", canonicalize_url_col(F.col("url")))
+        .withColumn("host", host_col(F.col("url")))
+        .select("url_canon", "host", "depth", "priority", "round")
+    )
+    import re
+
+    plan = explain_str(
+        schedule_batch(
+            frontier, synth.robots_df(spark), round_seconds=10_000_000,
+            salted=False,
+        )
+    )
+    # exactly one Window node (detail headers '(n) Window'); the salted
+    # two-phase path would show two
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
