@@ -1,0 +1,202 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+These pin ALGEBRAIC properties rather than golden values: idempotence of
+canonicalization (the well-definedness of the URL-seen set), the Bloom
+filter's one-sided error, parser span ordering, and the equivalence of the
+two first-wins dedup implementations (window rank vs min_by aggregate).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# --- URL canonicalization ------------------------------------------------------
+
+_url_chars = string.ascii_letters + string.digits + "-._~%"
+_key = st.text(_url_chars, min_size=1, max_size=8)
+_val = st.text(_url_chars, min_size=0, max_size=8)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTPS", "Http"]))
+    host = draw(
+        st.text(string.ascii_letters + string.digits + ".-", min_size=1, max_size=20)
+    )
+    path = "/" + "/".join(
+        draw(st.lists(st.text(_url_chars, min_size=1, max_size=6), max_size=3))
+    )
+    pairs = draw(
+        st.lists(st.tuples(_key, _val), max_size=5).map(
+            lambda ps: "&".join(f"{k}={v}" for k, v in ps)
+        )
+    )
+    frag = draw(st.sampled_from(["", "#frag", "#a=b"]))
+    q = f"?{pairs}" if pairs else ""
+    return f"{scheme}://{host}{path}{q}{frag}"
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(url):
+    from job_crawler_spark.functions.urls import py_canonicalize
+
+    once = py_canonicalize(url)
+    assert py_canonicalize(once) == once
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_canonical_form_invariants(url):
+    from job_crawler_spark.functions.urls import py_canonicalize
+
+    c = py_canonicalize(url)
+    assert "#" not in c  # fragment dropped
+    assert "utm_" not in c.split("?")[-1] if "?" in c else True
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0]
+    assert host == host.lower()
+    if "?" in c:
+        qs = c.split("?", 1)[1]
+        parts = qs.split("&")
+        assert parts == sorted(parts)  # sorted query keys
+
+
+@given(st.lists(st.tuples(_key, _val), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_query_order_insensitive(pairs):
+    """Two URLs differing only in query-pair order canonicalize equally."""
+    from job_crawler_spark.functions.urls import py_canonicalize
+
+    q1 = "&".join(f"{k}={v}" for k, v in pairs)
+    q2 = "&".join(f"{k}={v}" for k, v in reversed(pairs))
+    u1 = f"https://example.com/jobs?{q1}"
+    u2 = f"https://example.com/jobs?{q2}"
+    assert py_canonicalize(u1) == py_canonicalize(u2)
+
+
+# --- Bloom one-sided error ------------------------------------------------------
+
+@given(
+    st.lists(st.text(min_size=1, max_size=30), max_size=200),
+    st.lists(st.text(min_size=1, max_size=30), max_size=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(inserted, probed):
+    """Every inserted key MUST report might_contain=True (the property that
+    makes 'bloom says new' provable); non-inserted keys may collide — that
+    side is checked by the exact anti-join, never trusted."""
+    from job_crawler_spark.operators.bloom import BloomShards
+
+    bs = BloomShards(n_shards=8, m_bits=1 << 12, k=4)
+    for key in inserted:
+        bs.add(key)
+    for key in inserted:
+        assert bs.might_contain(key)
+
+
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_bloom_merge_superset(keys):
+    """OR-merging shard sets preserves membership of both inputs (the
+    shards ⊇ seen commit invariant in crawl/round.py)."""
+    from job_crawler_spark.operators.bloom import BloomShards
+
+    half = len(keys) // 2
+    a = BloomShards(4, 1 << 10, 3)
+    b = BloomShards(4, 1 << 10, 3)
+    for key in keys[:half]:
+        a.add(key)
+    for key in keys[half:]:
+        b.add(key)
+    a.merge(b)
+    for key in keys:
+        assert a.might_contain(key)
+
+
+# --- Parser span invariants ------------------------------------------------------
+
+_page_text = st.text(
+    string.ascii_letters + string.digits + " .,\n", max_size=120
+)
+
+
+@st.composite
+def pages(draw):
+    segs = draw(st.lists(_page_text, max_size=5))
+    markers = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "<img:logo-1.png>",
+                    "<a:https://x.example.com/jobs/9>",
+                    "Salary: 100 - 200.",
+                    "Benefits: pension and equity.",
+                ]
+            ),
+            max_size=5,
+        )
+    )
+    out = []
+    for i in range(max(len(segs), len(markers))):
+        if i < len(segs):
+            out.append(segs[i])
+        if i < len(markers):
+            out.append(markers[i])
+    return " ".join(out)
+
+
+@given(pages())
+@settings(max_examples=300, deadline=None)
+def test_parser_spans_offset_ordered_and_typed(page):
+    from job_crawler_spark.crawl.parser import py_parse_page
+
+    spans = py_parse_page(page)
+    offsets = [s["offset"] for s in spans]
+    assert offsets == sorted(offsets)
+    kinds = {s["kind"] for s in spans}
+    assert kinds <= {
+        "listing_text", "salary_snippet", "benefit_snippet", "logo_media"
+    }
+    for s in spans:
+        # offsets must point into the page at the span's own text
+        if s["kind"] in ("listing_text", "salary_snippet", "benefit_snippet"):
+            assert page[s["offset"] : s["offset"] + len(s["text"])] == s["text"]
+        else:
+            assert s["text"] == "" and s["media_ref"] != ""
+
+
+# --- dedup implementation equivalence --------------------------------------------
+
+def test_first_wins_window_equals_agg_form(spark):
+    """The min_by aggregate form (scale path: map-side combine) must pick
+    exactly the rows the window form picks, for every key, under a total
+    order — seeded-random inputs across several shapes."""
+    import random
+
+    from job_crawler_spark.operators.dedup import first_wins, first_wins_agg
+
+    rng = random.Random(42)
+    for trial in range(3):
+        rows = [
+            (
+                f"k{rng.randrange(20)}",
+                rng.randrange(1000),
+                f"u{rng.randrange(10**6)}",
+            )
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "key string, neg_p long, url string")
+        a = {
+            (r.key, r.neg_p, r.url)
+            for r in first_wins(df, ["key"], ["neg_p", "url"]).collect()
+        }
+        b = {
+            (r.key, r.neg_p, r.url)
+            for r in first_wins_agg(df, ["key"], ["neg_p", "url"]).collect()
+        }
+        assert a == b, f"trial {trial}"
