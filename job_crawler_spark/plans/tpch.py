@@ -162,11 +162,121 @@ Q_PART_TOPK_SQL = """
 """
 
 
+def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: scan-only forecast — every predicate must reach the parquet
+    reader (range filters on date/discount/quantity), zero joins, scalar agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_REVENUE_DELTA_SQL = f"""
+    SELECT {stable_round_sql("SUM(l_extendedprice * l_discount)", 2)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: fact-dim join (broadcast part) + conditional-aggregate
+    ratio. The CASE lives inside the agg so it's one pass, map-side combined."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            stable_round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_PROMO_REVENUE_SQL = f"""
+    SELECT {stable_round_sql(
+        "100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)"
+        " / SUM(l_extendedprice * (1 - l_discount))", 4)}
+               AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+BIG_ORDER_QTY = 300
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: aggregate-then-join. The HAVING aggregate runs FIRST so
+    only qualifying orderkeys (~0.1%) reach the join — never join-then-
+    aggregate, which would shuffle the whole fact table twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(stable_round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(20)
+    )
+
+
+Q_BIG_ORDERS_SQL = f"""
+    WITH big AS (
+      SELECT l_orderkey, {stable_round_sql("SUM(l_quantity)", 2)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {stable_round_sql("SUM(l_quantity)", 2)} > {BIG_ORDER_QTY}
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_revenue_orders": q_top_revenue_orders,
     "tpch_nation_revenue": q_nation_revenue,
     "part_brand_topk": q_part_supplier_topk,
+    "tpch_revenue_delta": q_revenue_delta,
+    "tpch_promo_revenue": q_promo_revenue,
+    "tpch_big_orders": q_big_orders,
 }
 
 ORACLES = {
@@ -174,4 +284,7 @@ ORACLES = {
     "tpch_top_revenue_orders": Q_TOP_REVENUE_SQL,
     "tpch_nation_revenue": Q_NATION_REVENUE_SQL,
     "part_brand_topk": Q_PART_TOPK_SQL,
+    "tpch_revenue_delta": Q_REVENUE_DELTA_SQL,
+    "tpch_promo_revenue": Q_PROMO_REVENUE_SQL,
+    "tpch_big_orders": Q_BIG_ORDERS_SQL,
 }
