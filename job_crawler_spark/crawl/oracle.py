@@ -90,6 +90,8 @@ def crawl(
             docs[u] = py_parse_page(page)
             for raw_link in py_parse_outlinks(page):
                 canon = py_canonicalize(raw_link)
+                if not py_host(canon):  # same admission guard as the engine
+                    continue
                 cand = {
                     "url_canon": canon,
                     "host": py_host(canon),

@@ -82,6 +82,11 @@ class CrawlEngine:
     robots: DataFrame
     round_seconds: int = 60
     salt_buckets: int = 32
+    # True by default: real crawl rounds have truncating budgets, so the
+    # adaptive stats probe in schedule_batch would pay an extra full pass
+    # over the frontier every round just to conclude "salt". Set to None to
+    # re-enable adaptive detection, False for uncapped drain rounds.
+    salted: bool | None = True
     bloom_shards: int = 64
     bloom_bits: int = 1 << 20
     bloom_k: int = 5
@@ -95,6 +100,35 @@ class CrawlEngine:
     T_LOG = "crawl_log"
     T_CKPT = "checkpoints"
     T_SCHED = "schedule_log"
+    T_BLOOM_META = "bloom_meta"
+
+    BLOOM_META_SCHEMA = T.StructType(
+        [
+            T.StructField("n_shards", T.IntegerType(), False),
+            T.StructField("m_bits", T.LongType(), False),
+            T.StructField("k", T.IntegerType(), False),
+        ]
+    )
+
+    def _check_bloom_params(self) -> None:
+        """The persisted shard bitmaps are only meaningful under the exact
+        (n_shards, m_bits, k) that built them — resuming with different
+        parameters would silently probe wrong bits (or crash on blob length).
+        Parameters are pinned at bootstrap and validated on every round."""
+        rows = self.catalog.read(
+            self.spark, self.T_BLOOM_META, schema=self.BLOOM_META_SCHEMA
+        ).collect()
+        if not rows:
+            return  # pre-meta catalog (or fresh): nothing to validate against
+        meta = rows[0]
+        got = (int(meta.n_shards), int(meta.m_bits), int(meta.k))
+        want = (self.bloom_shards, self.bloom_bits, self.bloom_k)
+        if got != want:
+            raise ValueError(
+                f"bloom parameter mismatch: catalog built with "
+                f"(n_shards, m_bits, k)={got}, engine configured {want}; "
+                f"resuming would mis-probe persisted seen_shards bitmaps"
+            )
 
     # -- bootstrap -------------------------------------------------------------
     def bootstrap(self, raw_frontier: DataFrame) -> None:
@@ -119,6 +153,11 @@ class CrawlEngine:
         sv = self.catalog.overwrite(empty_seen, self.T_SEEN)
         empty_shards = self.spark.createDataFrame([], schema=bloom.SHARD_SCHEMA)
         shv = self.catalog.overwrite(empty_shards, self.T_SHARDS)
+        meta = self.spark.createDataFrame(
+            [(self.bloom_shards, self.bloom_bits, self.bloom_k)],
+            schema=self.BLOOM_META_SCHEMA,
+        )
+        self.catalog.overwrite(meta, self.T_BLOOM_META)
         # round -1 checkpoint pins the bootstrap snapshot versions for round 0
         marker = self.spark.createDataFrame(
             [
@@ -157,15 +196,18 @@ class CrawlEngine:
     # -- one round ----------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         spark, cat = self.spark, self.catalog
+        self._check_bloom_params()
         fv, sv, shv = self._pinned_versions(round_no)
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
 
         batch = schedule_batch(
-            frontier, self.robots, self.round_seconds, self.salt_buckets
+            frontier, self.robots, self.round_seconds, self.salt_buckets,
+            salted=self.salted,
         ).cache()
         n_scheduled = batch.count()
         if n_scheduled == 0:
+            batch.unpersist()
             return {"round": round_no, "scheduled": 0, "done": True}
 
         # schedule log: the deterministic crawl order (host, host_rank) this
@@ -200,6 +242,10 @@ class CrawlEngine:
             .filter(F.col("outlink").isNotNull())
         )
         candidates = fetcher.expand_outlinks(links)
+        # same admission guard as bootstrap: a malformed outlink canonicalizes
+        # to an empty host and must never enter the frontier (the robots
+        # left-join would otherwise admit it with a default budget forever)
+        candidates = candidates.filter(F.col("host") != "")
         # one row per canon: max priority, min depth (deterministic aggregates)
         candidates = candidates.groupBy("url_canon", "host").agg(
             F.max("priority").alias("priority"), F.min("depth").alias("depth")
@@ -221,7 +267,7 @@ class CrawlEngine:
         shards = bloom.collect_shards(
             shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k
         )
-        provably_new, maybe_seen = bloom.split_by_bloom(
+        provably_new, maybe_seen, flagged = bloom.split_by_bloom(
             not_pending, spark, shards, "url_canon"
         )
         confirmed_new = anti_join_seen(maybe_seen, seen, "url_canon")
@@ -304,6 +350,7 @@ class CrawlEngine:
         batch.unpersist()
         fetched.unpersist()
         parsed.unpersist()
+        flagged.unpersist()
         self.stats.append(stats_row)
         return {**stats_row, "done": False}
 

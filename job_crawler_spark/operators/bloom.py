@@ -38,20 +38,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _h64_pair(key: str) -> tuple[int, int]:
-    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+def _h64_triple(key: str) -> tuple[int, int, int]:
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=24).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:16], "little"),
+        int.from_bytes(d[16:], "little"),
+    )
 
 
 def shard_of(key: str, n_shards: int) -> int:
-    return _h64_pair(key)[0] % n_shards
+    return _h64_triple(key)[0] % n_shards
 
 
 def _probe_positions(key: str, m_bits: int, k: int) -> list[int]:
-    h1, h2 = _h64_pair(key)
-    # force h2 odd so probes cycle through the full bitmap
-    h2 |= 1
-    return [((h1 + i * h2) % m_bits) for i in range(k)]
+    # Probe base/step come from DIFFERENT hash words than the shard id: with
+    # a shared word, n_shards | m_bits makes probe 0 of every key in shard s
+    # congruent to s (mod n_shards), confining it to 1/n_shards of the bitmap
+    # and inflating the FPR ~an order of magnitude above the k-hash design.
+    _, h2, h3 = _h64_triple(key)
+    # force the step odd so probes cycle through the full bitmap
+    h3 |= 1
+    return [((h2 + i * h3) % m_bits) for i in range(k)]
 
 
 def optimal_bits(n_keys: int, fpr: float = 0.01) -> int:
@@ -187,12 +195,18 @@ def split_by_bloom(
     spark: SparkSession,
     shards: BloomShards,
     key_col: str = "url_canon",
-) -> tuple[DataFrame, DataFrame]:
-    """(provably_new, maybe_seen) split via broadcast Bloom probe.
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(provably_new, maybe_seen, flagged) split via broadcast Bloom probe.
 
     ``provably_new`` skips the exact anti-join; ``maybe_seen`` must be
     confirmed against the seen table. mapInPandas + sc.broadcast: each task
     probes the in-memory bitmaps — no shuffle, no join.
+
+    Both outputs filter the same ``flagged`` DataFrame; it is persisted (and
+    returned so the caller can unpersist after its action) because the two
+    branches are usually unioned into ONE downstream action — without the
+    persist the probe stage and its entire upstream plan execute twice.
     """
     bc = spark.sparkContext.broadcast(
         (shards.to_rows(), shards.n_shards, shards.m_bits, shards.k)
@@ -212,7 +226,10 @@ def split_by_bloom(
             yield pdf
 
     flagged = batch.mapInPandas(probe, schema=flag_schema)
+    if persist:
+        flagged = flagged.persist()
     return (
         flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
         flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged,
     )

@@ -82,7 +82,7 @@ def _compatibility_sql() -> str:
           (CASE WHEN len(tech) > 0
                 THEN 10.0 * len(list_filter(tech, t -> list_contains({user}, t)))
                      / len(tech)
-                ELSE 10.0 END) * {w['technical_skills']}
+                ELSE 5.0 END) * {w['technical_skills']}
           + 10.0 * {w['experience_level']}
           + (CASE WHEN mid IS NULL THEN 7.0
                   ELSE GREATEST(1.0, LEAST(10.0,

@@ -348,6 +348,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     |A ∩ B| over the non-stop shingle universe; |A|,|B| likewise — so the
     oracle and Spark agree on the same filtered universe."""
+    from job_crawler_spark.functions.compat import stable_round
+
     docs = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
     df_counts = exploded.groupBy("shingle").agg(
@@ -374,7 +376,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b")
         .withColumn(
             "jaccard",
-            F.round(
+            # stable_round, NOT F.round: Spark HALF_UP vs DuckDB
+            # binary-value rounding disagree on x.xxxx5 boundaries
+            stable_round(
                 F.col("overlap")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("overlap")),
                 4,
@@ -402,10 +406,12 @@ Q_NGRAM_JACCARD_PAIRS_SQL = f"""
       GROUP BY x.doc_id, y.doc_id
     )
     SELECT a, b, overlap,
-           ROUND(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE), 4) AS jaccard
+           (FLOOR(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE) * 10000 + 0.5)
+            / 10000) AS jaccard
     FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                JOIN sizes sb ON inter.b = sb.doc_id
-    WHERE ROUND(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE), 4) >= 0.5
+    WHERE (FLOOR(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE) * 10000 + 0.5)
+           / 10000) >= 0.5
     ORDER BY a, b
 """
 

@@ -6,9 +6,14 @@ Two reference behaviors are genuinely stateful across micro-batches:
   main.py:207): a host may be fetched at most once per ``crawl_delay``
   seconds. State = the last granted fetch time per host, persisted in the
   streaming state store, surviving across micro-batches and restarts.
-- **follow-up timeout** (T5, main.py:932): an application whose status has
-  not changed for 7 days emits a ``needs_follow_up`` event exactly once.
-  State = (status, first_seen_ts) per application id.
+- **follow-up timeout** (T5, main.py:932): the first event arriving >= 7
+  days after an application entered the 'applied' status is flagged
+  ``needs_follow_up`` — at most once per applied-spell (the flag re-arms
+  only when the status changes and later returns to 'applied'). State =
+  (status, first_seen_ts, already_flagged) per application id. Detection
+  is arrival-driven (NoTimeout): a silent application fires on its next
+  event, which is the reference's behavior too — main.py:932 computes the
+  flag when the summary is requested, not on a timer.
 
 Both are GroupState per key — the streaming twin of the batch engine's
 window-ranked politeness scheduling (operators/politeness.py). Batch mode
@@ -59,6 +64,7 @@ FOLLOWUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("status", T.StringType(), True),
         T.StructField("first_seen", T.DoubleType(), True),
+        T.StructField("flagged", T.BooleanType(), True),
     ]
 )
 
@@ -128,8 +134,10 @@ def followup_tracker(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (app_id,) = key
-        prev_status, first_seen = (
-            (state.get[0], state.get[1]) if state.exists else (None, None)
+        prev_status, first_seen, flagged = (
+            (state.get[0], state.get[1], bool(state.get[2]))
+            if state.exists
+            else (None, None, False)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["event_ts"], kind="mergesort")
@@ -137,13 +145,19 @@ def followup_tracker(
         for status, ts in zip(rows["status"], rows["event_ts"]):
             ts = float(ts)
             if status != prev_status:
-                prev_status, first_seen = status, ts
-            needs = status == "applied" and (ts - first_seen) >= timeout_s
+                prev_status, first_seen, flagged = status, ts, False
+            needs = (
+                status == "applied"
+                and not flagged
+                and (ts - first_seen) >= timeout_s
+            )
+            if needs:
+                flagged = True  # at most one alert per applied-spell
             out["app_id"].append(app_id)
             out["status"].append(status)
             out["first_seen"].append(first_seen)
             out["needs_follow_up"].append(needs)
-        state.update((prev_status, first_seen))
+        state.update((prev_status, first_seen, flagged))
         yield pd.DataFrame(out)
 
     return app_events.groupBy("app_id").applyInPandasWithState(

@@ -99,9 +99,10 @@ def test_split_by_bloom_partitions_correctly(spark):
     batch = spark.createDataFrame(
         [(k,) for k in seen_keys + new_keys], "url_canon string"
     )
-    provably_new, maybe_seen = bloom.split_by_bloom(batch, spark, bs)
+    provably_new, maybe_seen, flagged = bloom.split_by_bloom(batch, spark, bs)
     new_set = {r.url_canon for r in provably_new.collect()}
     maybe_set = {r.url_canon for r in maybe_seen.collect()}
+    flagged.unpersist()
     # every actually-seen key must land in maybe_seen (no false negatives)
     assert set(seen_keys) <= maybe_set
     # provably_new contains only truly-new keys

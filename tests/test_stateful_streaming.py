@@ -101,7 +101,9 @@ def test_followup_tracker_state(spark, tmp_path):
     batches = [
         [(1, "applied", 0.0), (2, "applied", 0.0)],
         [(1, "applied", 8 * day), (2, "interview", 2 * day)],
-        [(2, "interview", 20 * day)],
+        # app 1 heartbeats again past the timeout: the flag must NOT re-fire
+        # (at most one alert per applied-spell, carried in state)
+        [(1, "applied", 9 * day), (2, "interview", 20 * day)],
     ]
     src = f"{tmp_path}/src"
     os.makedirs(src)
@@ -125,8 +127,8 @@ def test_followup_tracker_state(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    # app 1: still 'applied' 8 days after first_seen=0 -> needs follow-up,
-    # and only the day-8 event fires (the day-0 event is too recent)
+    # app 1: still 'applied' 8 days after first_seen=0 -> needs follow-up;
+    # exactly ONE alert fires (day-0 too recent, day-9 already flagged)
     got = spark.table("fu_sink").filter("app_id = 1 AND needs_follow_up").collect()
     assert len(got) == 1 and got[0].first_seen == 0.0
     # app 2 changed status at day 2 -> timer reset; day 20 is 18 days into
