@@ -1,0 +1,101 @@
+"""Round-loop benchmark: the FULL resumable engine, catalog commits included.
+
+bench.py's crawl_throughput measures the dataflow (schedule -> fetch ->
+parse -> enrich); this harness runs CrawlEngine.run_round end-to-end —
+politeness scheduling, Bloom-prefiltered frontier dedup, MERGE of
+documents, seen/shards/frontier/lineage/checkpoint commits — so the
+per-round commit overhead is measured, not assumed. Writes BENCH/ROUNDS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_ROUND_SEEDS", "200000"))
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+ROUND_SECONDS = int(os.environ.get("SPARK_GRAFT_ROUND_SECONDS", "3000"))
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> dict:
+    from job_crawler_spark.catalog import Catalog
+    from job_crawler_spark.crawl.round import CrawlEngine
+    from job_crawler_spark.session import get_spark
+    from job_crawler_spark.sources import synth
+
+    spark = get_spark("round-bench", cores=CORES)
+    root = tempfile.mkdtemp(prefix="jcs_round_bench_")
+    engine = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(root=root),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+    )
+    t0 = time.perf_counter()
+    engine.bootstrap(synth.seed_frontier(spark, N_SEEDS))
+    t_bootstrap = time.perf_counter() - t0
+
+    rounds = []
+    for r in range(N_ROUNDS):
+        t0 = time.perf_counter()
+        res = engine.run_round(r)
+        dt = time.perf_counter() - t0
+        if res.get("done"):
+            break
+        rounds.append(
+            {
+                "round": r,
+                "seconds": round(dt, 3),
+                "scheduled": res["scheduled"],
+                "fetched": res["fetched"],
+                "urls_per_sec": round(res["scheduled"] / dt, 1),
+                "frontier_pending": res["frontier_pending"],
+                "seen_total": res["seen_total"],
+            }
+        )
+
+    total_urls = sum(r["scheduled"] for r in rounds)
+    total_sec = sum(r["seconds"] for r in rounds)
+    summary = {
+        "metric": "engine_round_urls_per_sec",
+        "value": round(total_urls / total_sec, 1) if total_sec else 0.0,
+        "unit": "urls/sec",
+        "seeds": N_SEEDS,
+        "rounds": rounds,
+        "bootstrap_seconds": round(t_bootstrap, 3),
+        "cores": CORES,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ROUNDS.md", "w") as f:
+        f.write(
+            "# Engine round-loop benchmark (commits included)\n\n"
+            f"CrawlEngine.run_round on a {N_SEEDS:,}-seed frontier, "
+            f"local[{CORES}]: schedule -> fetch -> parse -> enrich -> Bloom\n"
+            "dedup of discovered outlinks -> MERGE documents -> commit seen/\n"
+            "shards/frontier/lineage/checkpoint (every round resumable).\n\n"
+            "| round | scheduled | fetched | seconds | URLs/sec | frontier after | seen |\n"
+            "|---|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {r['round']} | {r['scheduled']:,} | {r['fetched']:,} | "
+                f"{r['seconds']} | {r['urls_per_sec']:,} | "
+                f"{r['frontier_pending']:,} | {r['seen_total']:,} |\n"
+                for r in rounds
+            )
+            + f"\nOverall {summary['value']:,} URLs/sec across {len(rounds)} "
+            f"rounds (bootstrap {summary['bootstrap_seconds']} s).\n\n"
+            "```json\n" + json.dumps(summary, indent=2) + "\n```\n"
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    print(json.dumps(main()))
