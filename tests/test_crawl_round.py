@@ -134,3 +134,22 @@ def test_resume_after_kill_converges(spark, tmp_path):
         for r in resumed.catalog.read(spark, resumed.T_DOCS).select("doc_id", "spans").collect()
     }
     assert da == db
+
+
+def test_resume_with_wrong_bloom_params_refuses(spark, tmp_path):
+    """Persisted shard bitmaps are only meaningful under the exact
+    (n_shards, m_bits, k) that built them: a resume with different
+    parameters must fail loudly, not silently mis-probe."""
+    eng = _engine(spark, tmp_path, "bp")
+    eng.bootstrap(synth.seed_frontier(spark, 50))
+    eng.run_round(0)
+
+    bad = _engine(spark, tmp_path, "bp")
+    bad.bloom_bits = 1 << 18  # differs from the 1<<16 the catalog was built with
+    with pytest.raises(ValueError, match="bloom parameter mismatch"):
+        bad.run_round(bad.next_round())
+
+    # same-params resume still works
+    ok = _engine(spark, tmp_path, "bp")
+    res = ok.run_round(ok.next_round())
+    assert res["round"] == 1
