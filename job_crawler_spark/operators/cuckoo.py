@@ -1,0 +1,321 @@
+"""Partitioned cuckoo URL-seen filter: the deletable alternative to Bloom.
+
+The north rule names a "partitioned Bloom/cuckoo URL-seen filter"; Bloom
+(operators/bloom.py) is the default. This module provides the cuckoo
+option — same sharded/broadcast layout, same one-sided contract ("not
+present" is provable, "maybe present" goes to the exact anti-join) — with
+one capability Bloom lacks: **deletion**, which is what a forced re-crawl
+of a URL needs (remove it from the seen filter and the exact seen table;
+the scheduler will admit it again).
+
+Design (partial-key cuckoo, Fan et al., "Cuckoo Filter: Practically Better
+Than Bloom", CoNEXT 2014 — public paper, no code copied):
+
+- per shard: ``n_buckets`` buckets x 4 slots of 16-bit fingerprints in a
+  numpy uint16 array (0 = empty; fingerprints are forced nonzero);
+- candidate buckets ``i1 = hash(key) % n_buckets`` and
+  ``i2 = i1 XOR (hash(fp) % n_buckets)`` — computable from (bucket, fp)
+  alone, which is what makes displacement and cross-shard merge possible;
+- insert kicks resident fingerprints up to MAX_KICKS; if a kick chain
+  overflows, the key goes to the shard's exact overflow list, preserving
+  the no-false-negative contract unconditionally;
+- hashing reuses the same blake2b construction as bloom.py with
+  INDEPENDENT hash words for shard id, bucket index, and fingerprint (see
+  bloom.py's shard/probe correlation note).
+
+Scale: identical story to Bloom shards — shard by hash, build each shard
+in one Arrow batch (applyInPandas), broadcast the union, probe in
+mapInPandas. At 10^10 keys: 16-bit fp at 95% load = ~2.4 GB total across
+1024 shards (~2.4 MB each), FPR ~= 2 * 4 / 2^16 ~ 0.012%.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SLOTS_PER_BUCKET = 4
+MAX_KICKS = 500
+
+
+def _h64_triple(key: str) -> tuple[int, int, int]:
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=24).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:16], "little"),
+        int.from_bytes(d[16:], "little"),
+    )
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return _h64_triple(key)[0] % n_shards
+
+
+def _fingerprint(key: str) -> int:
+    # nonzero 16-bit fingerprint (0 marks an empty slot)
+    return (_h64_triple(key)[2] % 0xFFFF) + 1
+
+
+def _fp_hash(fp: int, n_buckets: int) -> int:
+    d = hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest()
+    return int.from_bytes(d, "little") % n_buckets
+
+
+def _i1(key: str, n_buckets: int) -> int:
+    return _h64_triple(key)[1] % n_buckets
+
+
+def _alt_bucket(i: int, fp: int, n_buckets: int) -> int:
+    # XOR in the index space folded back into range; self-inverse because
+    # ((i ^ h) % n) ^ h % n == i % n only when n is a power of two — so
+    # n_buckets is forced to a power of two in CuckooShards.__init__.
+    return (i ^ _fp_hash(fp, n_buckets)) % n_buckets
+
+
+class CuckooShards:
+    """Sharded cuckoo filters keyed by shard id, broadcastable as rows."""
+
+    def __init__(self, n_shards: int, n_buckets: int):
+        if n_buckets & (n_buckets - 1):
+            raise ValueError("n_buckets must be a power of two (XOR kicking)")
+        self.n_shards = n_shards
+        self.n_buckets = n_buckets
+        # shard -> uint16[n_buckets * SLOTS_PER_BUCKET]
+        self.tables: dict[int, np.ndarray] = {}
+        # shard -> exact overflow keys (kick-chain overflow safety net)
+        self.overflow: dict[int, set[str]] = {}
+
+    def _table(self, s: int) -> np.ndarray:
+        t = self.tables.get(s)
+        if t is None:
+            t = np.zeros(self.n_buckets * SLOTS_PER_BUCKET, dtype=np.uint16)
+            self.tables[s] = t
+        return t
+
+    def _bucket_slots(self, i: int) -> slice:
+        return slice(i * SLOTS_PER_BUCKET, (i + 1) * SLOTS_PER_BUCKET)
+
+    def _insert_fp(
+        self, t: np.ndarray, i1: int, fp: int, rng_seed: int
+    ) -> tuple[int, int] | None:
+        """Place ``fp`` whose (first) candidate bucket is ``i1``.
+
+        Returns None on clean placement, else the homeless VICTIM
+        ``(bucket, fp)`` displaced at the end of an exhausted kick chain.
+        Cuckoo kicking only ever moves a fingerprint between its own two
+        candidate buckets, so the victim's returned bucket is one of its
+        own pair — a (bucket, fp) sentinel is sufficient to answer lookups
+        for whatever key it belonged to."""
+        for i in (i1, _alt_bucket(i1, fp, self.n_buckets)):
+            b = t[self._bucket_slots(i)]
+            empty = np.flatnonzero(b == 0)
+            if empty.size:
+                b[empty[0]] = fp
+                return None
+        # displacement: deterministic pseudo-random kick path (no wall clock)
+        i, cur = i1, fp
+        state = rng_seed or 1
+        for _ in range(MAX_KICKS):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            slot = state % SLOTS_PER_BUCKET
+            b = t[self._bucket_slots(i)]
+            cur, b[slot] = int(b[slot]), cur
+            i = _alt_bucket(i, cur, self.n_buckets)
+            b = t[self._bucket_slots(i)]
+            empty = np.flatnonzero(b == 0)
+            if empty.size:
+                b[empty[0]] = cur
+                return None
+        return (i, cur)
+
+    def _record_victim(self, s: int, victim: tuple[int, int]) -> None:
+        i, fp = victim
+        self.overflow.setdefault(s, set()).add(f"\x00fp:{i}:{fp}")
+
+    def add(self, key: str) -> None:
+        s = shard_of(key, self.n_shards)
+        fp = _fingerprint(key)
+        i1 = _i1(key, self.n_buckets)
+        victim = self._insert_fp(self._table(s), i1, fp, _h64_triple(key)[1])
+        if victim is not None:
+            # the new key's fp was swapped in at the head of the kick chain;
+            # the homeless fp belongs to some earlier key — keep it findable
+            self._record_victim(s, victim)
+
+    def might_contain(self, key: str) -> bool:
+        s = shard_of(key, self.n_shards)
+        ov = self.overflow.get(s, ())
+        if key in ov:
+            return True
+        fp = _fingerprint(key)
+        i1 = _i1(key, self.n_buckets)
+        i2 = _alt_bucket(i1, fp, self.n_buckets)
+        if f"\x00fp:{i1}:{fp}" in ov or f"\x00fp:{i2}:{fp}" in ov:
+            return True
+        t = self.tables.get(s)
+        if t is None:
+            return False
+        return bool(
+            (t[self._bucket_slots(i1)] == fp).any()
+            or (t[self._bucket_slots(i2)] == fp).any()
+        )
+
+    def delete(self, key: str) -> bool:
+        """Remove one instance of the key's fingerprint (forced re-crawl).
+        Only call for keys actually inserted — deleting a never-inserted key
+        can evict a colliding key's fingerprint (standard cuckoo caveat)."""
+        s = shard_of(key, self.n_shards)
+        ov = self.overflow.get(s)
+        fp = _fingerprint(key)
+        i1 = _i1(key, self.n_buckets)
+        i2 = _alt_bucket(i1, fp, self.n_buckets)
+        if ov:
+            if key in ov:
+                ov.discard(key)
+                return True
+            for sentinel in (f"\x00fp:{i1}:{fp}", f"\x00fp:{i2}:{fp}"):
+                if sentinel in ov:
+                    ov.discard(sentinel)
+                    return True
+        t = self.tables.get(s)
+        if t is None:
+            return False
+        for i in (i1, i2):
+            b = t[self._bucket_slots(i)]
+            hits = np.flatnonzero(b == fp)
+            if hits.size:
+                b[hits[0]] = 0
+                return True
+        return False
+
+    # -- (de)serialization / merge (same shapes as BloomShards) ---------------
+    def to_rows(self) -> list[tuple[int, bytes, list[str]]]:
+        shard_ids = sorted(set(self.tables) | set(self.overflow))
+        return [
+            (
+                s,
+                self._table(s).tobytes(),
+                sorted(self.overflow.get(s, ())),
+            )
+            for s in shard_ids
+        ]
+
+    @classmethod
+    def from_rows(
+        cls, rows: list[tuple[int, bytes, list[str]]], n_shards: int, n_buckets: int
+    ) -> "CuckooShards":
+        cs = cls(n_shards, n_buckets)
+        for s, blob, ov in rows:
+            cs.tables[int(s)] = np.frombuffer(blob, dtype=np.uint16).copy()
+            if ov:
+                cs.overflow[int(s)] = set(ov)
+        return cs
+
+    def merge(self, other: "CuckooShards") -> "CuckooShards":
+        """Re-insert the other's resident fingerprints (bucket index is known,
+        alt bucket computable from (i, fp) — the partial-key property)."""
+        assert (self.n_shards, self.n_buckets) == (other.n_shards, other.n_buckets)
+        for s, t in other.tables.items():
+            mine = self._table(s)
+            for i in range(self.n_buckets):
+                for fp in t[self._bucket_slots(i)]:
+                    fp = int(fp)
+                    if fp:
+                        victim = self._insert_fp(mine, i, fp, fp)
+                        if victim is not None:
+                            self._record_victim(s, victim)
+        for s, ov in other.overflow.items():
+            self.overflow.setdefault(s, set()).update(ov)
+        return self
+
+
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("overflow", T.ArrayType(T.StringType(), False), False),
+    ]
+)
+
+
+def build_shards(
+    keys: DataFrame, key_col: str, n_shards: int, n_buckets: int
+) -> DataFrame:
+    """Distributed shard build: one shuffle on the shard id, each shard's
+    table built inside one Arrow-batched group (mirrors bloom.build_shards)."""
+
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        cs = CuckooShards(n_shards, n_buckets)
+        for key in pdf[key_col]:
+            cs.add(key)
+        rows = cs.to_rows()
+        return pd.DataFrame(
+            {
+                "shard": [r[0] for r in rows],
+                "table": [r[1] for r in rows],
+                "overflow": [r[2] for r in rows],
+            }
+        )
+
+    def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "shard": [shard_of(u, n_shards) for u in pdf[key_col]],
+                }
+            )
+
+    keyed = keys.select(key_col).mapInPandas(
+        add_shard, schema=f"{key_col} string, shard int"
+    )
+    return keyed.groupBy("shard").applyInPandas(build_one, schema=SHARD_SCHEMA)
+
+
+def collect_shards(
+    spark_df: DataFrame, n_shards: int, n_buckets: int
+) -> CuckooShards:
+    rows = [
+        (r.shard, bytes(r.table), list(r.overflow)) for r in spark_df.collect()
+    ]
+    return CuckooShards.from_rows(rows, n_shards, n_buckets)
+
+
+def split_by_cuckoo(
+    batch: DataFrame,
+    spark: SparkSession,
+    shards: CuckooShards,
+    key_col: str = "url_canon",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(provably_new, maybe_seen, flagged) — same contract as
+    bloom.split_by_bloom; see there for the persist rationale."""
+    bc = spark.sparkContext.broadcast(
+        (shards.to_rows(), shards.n_shards, shards.n_buckets)
+    )
+    flag_schema = T.StructType(
+        batch.schema.fields + [T.StructField("__maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows, n_shards, n_buckets = bc.value
+        cs = CuckooShards.from_rows(rows, n_shards, n_buckets)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__maybe_seen"] = [cs.might_contain(u) for u in pdf[key_col]]
+            yield pdf
+
+    flagged = batch.mapInPandas(probe, schema=flag_schema)
+    if persist:
+        flagged = flagged.persist()
+    return (
+        flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged,
+    )
