@@ -444,6 +444,47 @@ Q_SALARY_STATS_SQL = f"""
 """
 
 
+def q_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + A9 + F18 (health_checker.py:104-162, main.py:985-987): per-table
+    row counts, a boolean healthy flag per table (non-empty), the all-healthy
+    aggregate shape, and a printf-formatted metric string."""
+    tables = {
+        "jobs": jobs_df(spark, sf_dir),
+        "applications": applications_df(spark, sf_dir),
+        "job_searches": job_searches_df(spark, sf_dir),
+        "api_metrics": api_metrics_df(spark, sf_dir),
+    }
+    counted = None
+    for name, df in tables.items():
+        one = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("tbl"), "n_rows"
+        )
+        counted = one if counted is None else counted.unionByName(one)
+    return (
+        counted.withColumn("healthy", F.col("n_rows") > 0)
+        .withColumn(
+            "summary",
+            F.format_string("%s: %d rows", F.col("tbl"), F.col("n_rows")),
+        )
+        .orderBy("tbl")
+    )
+
+
+Q_TABLE_HEALTH_SQL = f"""
+    WITH j AS ({JOBS_SQL}), a AS ({APPLICATIONS_SQL}),
+         s AS ({JOB_SEARCHES_SQL}), m AS ({API_METRICS_SQL}),
+    counts AS (
+      SELECT 'jobs' AS tbl, COUNT(*) AS n_rows FROM j
+      UNION ALL SELECT 'applications', COUNT(*) FROM a
+      UNION ALL SELECT 'job_searches', COUNT(*) FROM s
+      UNION ALL SELECT 'api_metrics', COUNT(*) FROM m
+    )
+    SELECT tbl, n_rows, n_rows > 0 AS healthy,
+           printf('%s: %d rows', tbl, n_rows) AS summary
+    FROM counts ORDER BY tbl
+"""
+
+
 QUERIES = {
     "app_status_counts": q_app_status_counts,
     "app_summary_join": q_app_summary_join,
@@ -455,6 +496,7 @@ QUERIES = {
     "company_app_counts": q_company_app_counts,
     "followup_dates": q_followup_dates,
     "salary_stats": q_salary_stats,
+    "table_health": q_table_health,
 }
 
 ORACLES = {
@@ -469,4 +511,5 @@ ORACLES = {
     "company_app_counts": Q_COMPANY_APP_COUNTS_SQL,
     "followup_dates": Q_FOLLOWUP_DATES_SQL,
     "salary_stats": Q_SALARY_STATS_SQL,
+    "table_health": Q_TABLE_HEALTH_SQL,
 }
