@@ -509,6 +509,96 @@ def _minhash_sql() -> str:
     """
 
 
+# --- rolling-hash winnowing fingerprints ---------------------------------------------
+
+ROLL_B = 31
+ROLL_B2 = ROLL_B * ROLL_B
+ROLL_M = (1 << 31) - 1
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schleimer/Wilkerson/Aiken winnowing over token rolling hashes: each
+    3-token window hashes polynomially (v1 + v2*B + v3*B^2 mod M), then the
+    minimum in every run of WINNOW_W consecutive hashes is kept — the classic
+    local-document fingerprint that survives insertions/reorderings better
+    than whole-doc hashes. Narrow until the final explode; per-doc work is
+    one higher-order pass, O(tokens)."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    def hashes_of(toks):
+        return F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % ROLL_M,
+        )
+
+    def kgrams(hs):
+        n = F.size(hs)
+        return F.when(
+            n >= NGRAM,
+            F.transform(
+                F.sequence(F.lit(1), n - (NGRAM - 1)),
+                lambda i: (
+                    F.element_at(hs, i)
+                    + F.element_at(hs, i + 1) * ROLL_B
+                    + F.element_at(hs, i + 2) * ROLL_B2
+                )
+                % ROLL_M,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def winnow(kg):
+        m = F.size(kg)
+        return F.when(
+            m >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+                    lambda j: F.array_min(F.slice(kg, j, WINNOW_W)),
+                )
+            ),
+        ).otherwise(F.array_distinct(kg))
+
+    fps = bind_once(
+        bind_once(bind_once(_tokens_col(), hashes_of), kgrams), winnow
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+Q_WINNOW_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+               t -> ('0x' || substr(md5(t),1,8))::BIGINT % {ROLL_M}) AS hs
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {NGRAM} THEN
+               list_transform(range(1, len(hs) - {NGRAM - 2}),
+                 i -> (hs[i] + hs[i+1] * {ROLL_B} + hs[i+2] * {ROLL_B2})
+                      % {ROLL_M})
+             ELSE [] END AS kg
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(kg) >= {WINNOW_W} THEN
+               list_distinct(list_transform(range(1, len(kg) - {WINNOW_W - 2}),
+                 j -> list_min(list_slice(kg, j, j + {WINNOW_W - 1}))))
+             ELSE list_distinct(kg) END AS fps
+      FROM kg
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    ORDER BY doc_id, fingerprint
+"""
+
+
 # --- simhash ------------------------------------------------------------------------
 
 SIMHASH_HAM_MAX = 3
@@ -636,6 +726,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_guess": q_lang_guess,
     "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -651,6 +742,7 @@ ORACLES = {
     "quality_scores": _quality_scores_sql(),
     "lang_guess": _lang_guess_sql(),
     "fingerprints": Q_FINGERPRINTS_SQL,
+    "winnow_fingerprints": Q_WINNOW_SQL,
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
