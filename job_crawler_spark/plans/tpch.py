@@ -269,6 +269,50 @@ Q_BIG_ORDERS_SQL = f"""
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region -> nation -> total): multi-level aggregation in ONE
+    pass — Spark's Expand operator fans each row into its grouping sets
+    before the hash agg, so the cube costs one shuffle, not three queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+Q_ROLLUP_REVENUE_SQL = f"""
+    SELECT r_name, n_name,
+           {stable_round_sql("SUM(l_extendedprice * (1 - l_discount))", 2)}
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_revenue_orders": q_top_revenue_orders,
@@ -277,6 +321,7 @@ QUERIES = {
     "tpch_revenue_delta": q_revenue_delta,
     "tpch_promo_revenue": q_promo_revenue,
     "tpch_big_orders": q_big_orders,
+    "tpch_rollup_revenue": q_rollup_revenue,
 }
 
 ORACLES = {
@@ -287,4 +332,5 @@ ORACLES = {
     "tpch_revenue_delta": Q_REVENUE_DELTA_SQL,
     "tpch_promo_revenue": Q_PROMO_REVENUE_SQL,
     "tpch_big_orders": Q_BIG_ORDERS_SQL,
+    "tpch_rollup_revenue": Q_ROLLUP_REVENUE_SQL,
 }
