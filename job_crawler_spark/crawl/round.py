@@ -42,7 +42,7 @@ from job_crawler_spark import schemas
 from job_crawler_spark.catalog import Catalog
 from job_crawler_spark.crawl import fetcher, parser
 from job_crawler_spark.functions.urls import canonicalize_url_col, host_col
-from job_crawler_spark.operators import bloom
+from job_crawler_spark.operators import bloom, cuckoo
 from job_crawler_spark.operators.dedup import anti_join_seen, first_wins_agg
 from job_crawler_spark.operators.politeness import schedule_batch
 
@@ -87,9 +87,12 @@ class CrawlEngine:
     # over the frontier every round just to conclude "salt". Set to None to
     # re-enable adaptive detection, False for uncapped drain rounds.
     salted: bool | None = True
+    # URL-seen prefilter backend: "bloom" (default) or "cuckoo" (deletable).
+    # Correctness-neutral either way — the exact anti-join is authoritative.
+    seen_filter: str = "bloom"
     bloom_shards: int = 64
-    bloom_bits: int = 1 << 20
-    bloom_k: int = 5
+    bloom_bits: int = 1 << 20  # cuckoo backend: n_buckets (power of two)
+    bloom_k: int = 5           # cuckoo backend: unused (stored as 0)
     stats: list[dict] = field(default_factory=list)
 
     # table names
@@ -104,31 +107,62 @@ class CrawlEngine:
 
     BLOOM_META_SCHEMA = T.StructType(
         [
+            T.StructField("backend", T.StringType(), False),
             T.StructField("n_shards", T.IntegerType(), False),
-            T.StructField("m_bits", T.LongType(), False),
-            T.StructField("k", T.IntegerType(), False),
+            T.StructField("m_bits", T.LongType(), False),  # cuckoo: n_buckets
+            T.StructField("k", T.IntegerType(), False),    # cuckoo: 0
         ]
     )
 
+    def _meta_tuple(self) -> tuple[str, int, int, int]:
+        k = self.bloom_k if self.seen_filter == "bloom" else 0
+        return (self.seen_filter, self.bloom_shards, self.bloom_bits, k)
+
     def _check_bloom_params(self) -> None:
-        """The persisted shard bitmaps are only meaningful under the exact
-        (n_shards, m_bits, k) that built them — resuming with different
-        parameters would silently probe wrong bits (or crash on blob length).
-        Parameters are pinned at bootstrap and validated on every round."""
+        """The persisted shard bitmaps/tables are only meaningful under the
+        exact backend + parameters that built them — resuming with different
+        ones would silently probe wrong bits (or crash on blob length).
+        Pinned at bootstrap, validated on every round."""
         rows = self.catalog.read(
             self.spark, self.T_BLOOM_META, schema=self.BLOOM_META_SCHEMA
         ).collect()
         if not rows:
             return  # pre-meta catalog (or fresh): nothing to validate against
         meta = rows[0]
-        got = (int(meta.n_shards), int(meta.m_bits), int(meta.k))
-        want = (self.bloom_shards, self.bloom_bits, self.bloom_k)
+        got = (meta.backend, int(meta.n_shards), int(meta.m_bits), int(meta.k))
+        want = self._meta_tuple()
         if got != want:
             raise ValueError(
                 f"bloom parameter mismatch: catalog built with "
-                f"(n_shards, m_bits, k)={got}, engine configured {want}; "
-                f"resuming would mis-probe persisted seen_shards bitmaps"
+                f"(backend, n_shards, m_bits, k)={got}, engine configured "
+                f"{want}; resuming would mis-probe persisted seen_shards"
             )
+
+    # -- seen-filter backend dispatch ------------------------------------------
+    def _filter_schema(self) -> T.StructType:
+        return bloom.SHARD_SCHEMA if self.seen_filter == "bloom" else cuckoo.SHARD_SCHEMA
+
+    def _build_filter_shards(self, keys: DataFrame) -> DataFrame:
+        if self.seen_filter == "bloom":
+            return bloom.build_shards(
+                keys, "url_canon", self.bloom_shards, self.bloom_bits, self.bloom_k
+            )
+        return cuckoo.build_shards(
+            keys, "url_canon", self.bloom_shards, self.bloom_bits
+        )
+
+    def _merge_filter_shards(self, existing: DataFrame, new: DataFrame) -> DataFrame:
+        mod = bloom if self.seen_filter == "bloom" else cuckoo
+        return mod.merge_shard_tables(existing, new)
+
+    def _split_new_vs_seen(self, not_pending: DataFrame, shards_df: DataFrame):
+        if self.seen_filter == "bloom":
+            shards = bloom.collect_shards(
+                shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k
+            )
+            return bloom.split_by_bloom(not_pending, self.spark, shards, "url_canon")
+        shards = cuckoo.collect_shards(shards_df, self.bloom_shards, self.bloom_bits)
+        return cuckoo.split_by_cuckoo(not_pending, self.spark, shards, "url_canon")
 
     # -- bootstrap -------------------------------------------------------------
     def bootstrap(self, raw_frontier: DataFrame) -> None:
@@ -151,11 +185,10 @@ class CrawlEngine:
         fv = self.catalog.overwrite(deduped, self.T_FRONTIER)
         empty_seen = self.spark.createDataFrame([], schema=schemas.SEEN_SCHEMA)
         sv = self.catalog.overwrite(empty_seen, self.T_SEEN)
-        empty_shards = self.spark.createDataFrame([], schema=bloom.SHARD_SCHEMA)
+        empty_shards = self.spark.createDataFrame([], schema=self._filter_schema())
         shv = self.catalog.overwrite(empty_shards, self.T_SHARDS)
         meta = self.spark.createDataFrame(
-            [(self.bloom_shards, self.bloom_bits, self.bloom_k)],
-            schema=self.BLOOM_META_SCHEMA,
+            [self._meta_tuple()], schema=self.BLOOM_META_SCHEMA
         )
         self.catalog.overwrite(meta, self.T_BLOOM_META)
         # round -1 checkpoint pins the bootstrap snapshot versions for round 0
@@ -262,13 +295,10 @@ class CrawlEngine:
         # version: shards ⊇ seen at the same pin (commit order shards-before-
         # seen) so "bloom says new" is provable against the pinned seen.
         shards_df = cat.read(
-            spark, self.T_SHARDS, version=shv, schema=bloom.SHARD_SCHEMA
+            spark, self.T_SHARDS, version=shv, schema=self._filter_schema()
         )
-        shards = bloom.collect_shards(
-            shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k
-        )
-        provably_new, maybe_seen, flagged = bloom.split_by_bloom(
-            not_pending, spark, shards, "url_canon"
+        provably_new, maybe_seen, flagged = self._split_new_vs_seen(
+            not_pending, shards_df
         )
         confirmed_new = anti_join_seen(maybe_seen, seen, "url_canon")
         discovered = provably_new.unionByName(confirmed_new).withColumn(
@@ -292,15 +322,11 @@ class CrawlEngine:
         # point — a crash between the two leaves extra bloom bits (harmless
         # false-positive side), never missing ones (which would break the
         # provably-new shortcut).
-        new_shards = bloom.build_shards(
-            new_seen.select("url_canon"),
-            "url_canon",
-            self.bloom_shards,
-            self.bloom_bits,
-            self.bloom_k,
+        new_shards = self._build_filter_shards(new_seen.select("url_canon"))
+        latest_shards = cat.read(
+            spark, self.T_SHARDS, schema=self._filter_schema()
         )
-        latest_shards = cat.read(spark, self.T_SHARDS, schema=bloom.SHARD_SCHEMA)
-        merged_shards = bloom.merge_shard_tables(latest_shards, new_shards)
+        merged_shards = self._merge_filter_shards(latest_shards, new_shards)
         shards_v = cat.overwrite(merged_shards, self.T_SHARDS)
 
         cat.append(new_seen, self.T_SEEN)

@@ -319,3 +319,32 @@ def split_by_cuckoo(
         flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
         flagged,
     )
+
+
+def merge_shard_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-shard merge of two shard tables (round maintenance) — the cuckoo
+    analog of bloom.merge_shard_tables: fingerprints re-insert bucket-aligned,
+    overflow lists union. One shuffle on the shard id."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_buckets = len(np.frombuffer(pdf["table"].iloc[0], dtype=np.uint16)) // SLOTS_PER_BUCKET
+        acc: CuckooShards | None = None
+        shard = int(pdf["shard"].iloc[0])
+        for blob, ov in zip(pdf["table"], pdf["overflow"]):
+            cs = CuckooShards.from_rows([(shard, bytes(blob), list(ov))], 1, n_buckets)
+            # n_shards is irrelevant inside one group; reuse 1 consistently
+            acc = cs if acc is None else acc.merge(cs)
+        rows = acc.to_rows()
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "table": [rows[0][1]],
+                "overflow": [rows[0][2]],
+            }
+        )
+
+    return (
+        existing.unionByName(new)
+        .groupBy("shard")
+        .applyInPandas(merge_group, schema=SHARD_SCHEMA)
+    )

@@ -153,3 +153,38 @@ def test_resume_with_wrong_bloom_params_refuses(spark, tmp_path):
     ok = _engine(spark, tmp_path, "bp")
     res = ok.run_round(ok.next_round())
     assert res["round"] == 1
+
+
+def test_cuckoo_backend_matches_oracle(spark, tmp_path):
+    """The seen-filter backend is correctness-neutral: a cuckoo-backed crawl
+    produces the identical seen set and crawl order as the oracle (and hence
+    as the Bloom-backed engine)."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "ck")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        bloom_bits=1 << 10,  # n_buckets for the cuckoo backend
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 200))
+    eng.run(2)
+    want = oracle.crawl(200, synth.robots_rows(), 2, round_seconds=ROUND_SECONDS)
+
+    got_seen = {
+        r.url_canon for r in eng.catalog.read(spark, eng.T_SEEN).collect()
+    }
+    assert got_seen == set(want["seen"])
+    got_order = [
+        (r.round, r.host, r.host_rank, r.url_canon)
+        for r in eng.catalog.read(spark, eng.T_SCHED)
+        .orderBy("round", "host", "host_rank")
+        .collect()
+    ]
+    want_order = [
+        (rnd, h, rank, u)
+        for rnd, batch in enumerate(want["crawl_order"])
+        for (h, rank, u) in batch
+    ]
+    assert got_order == want_order
