@@ -91,9 +91,19 @@ class CrawlEngine:
     # Correctness-neutral either way — the exact anti-join is authoritative.
     seen_filter: str = "bloom"
     bloom_shards: int = 64
-    bloom_bits: int = 1 << 20  # cuckoo backend: n_buckets (power of two)
-    bloom_k: int = 5           # cuckoo backend: unused (stored as 0)
+    bloom_bits: int = 1 << 20
+    bloom_k: int = 5
+    # cuckoo backend sizing: 1<<14 buckets x 4 slots x 2 B = 128 KiB/shard —
+    # the same footprint as the bloom default, NOT bloom_bits (a 1<<20-bucket
+    # table would be 8 MiB/shard, 512 MiB broadcast per round)
+    cuckoo_buckets: int = 1 << 14
     stats: list[dict] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter must be 'bloom' or 'cuckoo', got {self.seen_filter!r}"
+            )
 
     # table names
     T_FRONTIER = "frontier"
@@ -115,8 +125,9 @@ class CrawlEngine:
     )
 
     def _meta_tuple(self) -> tuple[str, int, int, int]:
-        k = self.bloom_k if self.seen_filter == "bloom" else 0
-        return (self.seen_filter, self.bloom_shards, self.bloom_bits, k)
+        if self.seen_filter == "bloom":
+            return ("bloom", self.bloom_shards, self.bloom_bits, self.bloom_k)
+        return ("cuckoo", self.bloom_shards, self.cuckoo_buckets, 0)
 
     def _check_bloom_params(self) -> None:
         """The persisted shard bitmaps/tables are only meaningful under the
@@ -128,8 +139,14 @@ class CrawlEngine:
         ).collect()
         if not rows:
             return  # pre-meta catalog (or fresh): nothing to validate against
-        meta = rows[0]
-        got = (meta.backend, int(meta.n_shards), int(meta.m_bits), int(meta.k))
+        meta = rows[0].asDict()
+        # catalogs written before the backend field existed are bloom-built
+        got = (
+            meta.get("backend", "bloom"),
+            int(meta["n_shards"]),
+            int(meta["m_bits"]),
+            int(meta["k"]),
+        )
         want = self._meta_tuple()
         if got != want:
             raise ValueError(
@@ -139,8 +156,19 @@ class CrawlEngine:
             )
 
     # -- seen-filter backend dispatch ------------------------------------------
+    # The seen_shards table stores per-ROUND deltas (backend shard schema +
+    # a round column): each round's delta is written with the same
+    # round-keyed idempotent rewrite as the other per-round tables, so a
+    # crash-and-replay rewrites its own delta instead of re-merging into an
+    # already-merged table. Bloom OR-merge happens to be idempotent, but
+    # cuckoo fingerprint insertion is NOT — deltas make replay exact for
+    # both. collect() merges all rounds' deltas when broadcasting.
+
     def _filter_schema(self) -> T.StructType:
-        return bloom.SHARD_SCHEMA if self.seen_filter == "bloom" else cuckoo.SHARD_SCHEMA
+        base = bloom.SHARD_SCHEMA if self.seen_filter == "bloom" else cuckoo.SHARD_SCHEMA
+        return T.StructType(
+            list(base.fields) + [T.StructField("round", T.IntegerType(), False)]
+        )
 
     def _build_filter_shards(self, keys: DataFrame) -> DataFrame:
         if self.seen_filter == "bloom":
@@ -148,20 +176,19 @@ class CrawlEngine:
                 keys, "url_canon", self.bloom_shards, self.bloom_bits, self.bloom_k
             )
         return cuckoo.build_shards(
-            keys, "url_canon", self.bloom_shards, self.bloom_bits
+            keys, "url_canon", self.bloom_shards, self.cuckoo_buckets
         )
 
-    def _merge_filter_shards(self, existing: DataFrame, new: DataFrame) -> DataFrame:
-        mod = bloom if self.seen_filter == "bloom" else cuckoo
-        return mod.merge_shard_tables(existing, new)
-
     def _split_new_vs_seen(self, not_pending: DataFrame, shards_df: DataFrame):
+        shards_df = shards_df.drop("round")
         if self.seen_filter == "bloom":
             shards = bloom.collect_shards(
                 shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k
             )
             return bloom.split_by_bloom(not_pending, self.spark, shards, "url_canon")
-        shards = cuckoo.collect_shards(shards_df, self.bloom_shards, self.bloom_bits)
+        shards = cuckoo.collect_shards(
+            shards_df, self.bloom_shards, self.cuckoo_buckets
+        )
         return cuckoo.split_by_cuckoo(not_pending, self.spark, shards, "url_canon")
 
     # -- bootstrap -------------------------------------------------------------
@@ -319,15 +346,20 @@ class CrawlEngine:
         ).cache()
 
         # shards BEFORE seen: the invariant is shards ⊇ seen at every commit
-        # point — a crash between the two leaves extra bloom bits (harmless
-        # false-positive side), never missing ones (which would break the
-        # provably-new shortcut).
-        new_shards = self._build_filter_shards(new_seen.select("url_canon"))
-        latest_shards = cat.read(
-            spark, self.T_SHARDS, schema=self._filter_schema()
+        # point — a crash between the two leaves extra filter entries
+        # (harmless false-positive side), never missing ones (which would
+        # break the provably-new shortcut). The delta is round-keyed and
+        # built from the BATCH (a pure function of the pinned frontier
+        # snapshot), NOT from new_seen (which depends on the latest seen
+        # table and would come out empty on replay, erasing the crashed
+        # attempt's delta) — so a replay REWRITES an identical delta.
+        shard_delta = self._build_filter_shards(
+            batch.select("url_canon")
+        ).withColumn("round", F.lit(round_no))
+        self._round_keyed_write(
+            self.T_SHARDS, shard_delta, self._filter_schema(), round_no
         )
-        merged_shards = self._merge_filter_shards(latest_shards, new_shards)
-        shards_v = cat.overwrite(merged_shards, self.T_SHARDS)
+        shards_v = cat.snapshot_id(self.T_SHARDS)
 
         cat.append(new_seen, self.T_SEEN)
         seen_v = cat.snapshot_id(self.T_SEEN)

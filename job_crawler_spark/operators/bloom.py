@@ -186,8 +186,18 @@ def merge_shard_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
 def collect_shards(
     spark_df: DataFrame, n_shards: int, m_bits: int, k: int
 ) -> BloomShards:
-    rows = [(r.shard, bytes(r.bitmap)) for r in spark_df.collect()]
-    return BloomShards.from_rows(rows, n_shards, m_bits, k)
+    """Collect shard rows into one broadcastable BloomShards. Duplicate rows
+    per shard id are OR-merged — the engine stores per-ROUND shard deltas
+    (replay-idempotent rewrite), so multiple rows per shard are normal."""
+    bs = BloomShards(n_shards, m_bits, k)
+    for r in spark_df.collect():
+        arr = np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+        s = int(r.shard)
+        if s in bs.bitmaps:
+            bs.bitmaps[s] = np.bitwise_or(bs.bitmaps[s], arr)
+        else:
+            bs.bitmaps[s] = arr.copy()
+    return bs
 
 
 def split_by_bloom(

@@ -41,7 +41,16 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool:
-    """True when both tables exist with bucket specs (sanity helper)."""
-    cat = spark.catalog
-    return cat.tableExists(table_a) and cat.tableExists(table_b)
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]] | None:
+    """(num_buckets, bucket_columns) of a saved table, or None if unbucketed.
+    Parsed from DESCRIBE EXTENDED — the sanity gate before relying on a
+    shuffle-free co-located join."""
+    rows = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in rows:
+        return None
+    n = int(rows["Num Buckets"])
+    cols = [c.strip(" `") for c in rows.get("Bucket Columns", "").strip("[]").split(",")]
+    return n, [c for c in cols if c]

@@ -17,8 +17,14 @@ Than Bloom", CoNEXT 2014 — public paper, no code copied):
   ``i2 = i1 XOR (hash(fp) % n_buckets)`` — computable from (bucket, fp)
   alone, which is what makes displacement and cross-shard merge possible;
 - insert kicks resident fingerprints up to MAX_KICKS; if a kick chain
-  overflows, the key goes to the shard's exact overflow list, preserving
-  the no-false-negative contract unconditionally;
+  exhausts, the displaced (homeless) fingerprint is recorded as a
+  ``(bucket, fp)`` sentinel in the shard's overflow list — kicking only
+  ever moves a fingerprint between its own two candidate buckets, so the
+  sentinel answers lookups for whatever key it belonged to, preserving the
+  no-false-negative contract for INSERTS unconditionally. Deletion carries
+  the standard cuckoo caveat (and its sentinel analog): deleting a key
+  whose fingerprint+bucket collide with another inserted key's can remove
+  the other key's only copy — never delete keys that were not inserted;
 - hashing reuses the same blake2b construction as bloom.py with
   INDEPENDENT hash words for shard id, bucket index, and fingerprint (see
   bloom.py's shard/probe correlation note).
@@ -62,9 +68,17 @@ def _fingerprint(key: str) -> int:
     return (_h64_triple(key)[2] % 0xFFFF) + 1
 
 
-def _fp_hash(fp: int, n_buckets: int) -> int:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)  # only 65535 fingerprint values exist
+def _fp_hash64(fp: int) -> int:
     d = hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest()
-    return int.from_bytes(d, "little") % n_buckets
+    return int.from_bytes(d, "little")
+
+
+def _fp_hash(fp: int, n_buckets: int) -> int:
+    return _fp_hash64(fp) % n_buckets
 
 
 def _i1(key: str, n_buckets: int) -> int:
@@ -88,8 +102,10 @@ class CuckooShards:
         self.n_buckets = n_buckets
         # shard -> uint16[n_buckets * SLOTS_PER_BUCKET]
         self.tables: dict[int, np.ndarray] = {}
-        # shard -> exact overflow keys (kick-chain overflow safety net)
-        self.overflow: dict[int, set[str]] = {}
+        # shard -> (bucket, fp) victim sentinels, duplicates allowed — a
+        # LIST, not a set: two victims with the same (bucket, fp) must keep
+        # their multiplicity or deleting one would erase both
+        self.overflow: dict[int, list[str]] = {}
 
     def _table(self, s: int) -> np.ndarray:
         t = self.tables.get(s)
@@ -136,26 +152,28 @@ class CuckooShards:
 
     def _record_victim(self, s: int, victim: tuple[int, int]) -> None:
         i, fp = victim
-        self.overflow.setdefault(s, set()).add(f"\x00fp:{i}:{fp}")
+        self.overflow.setdefault(s, []).append(f"\x00fp:{i}:{fp}")
+
+    def _key_coords(self, key: str) -> tuple[int, int, int, int]:
+        """One blake2b digest per key (add/lookup/delete hot path)."""
+        h1, h2, h3 = _h64_triple(key)
+        s = h1 % self.n_shards
+        i1 = h2 % self.n_buckets
+        fp = (h3 % 0xFFFF) + 1
+        return s, i1, fp, h2
 
     def add(self, key: str) -> None:
-        s = shard_of(key, self.n_shards)
-        fp = _fingerprint(key)
-        i1 = _i1(key, self.n_buckets)
-        victim = self._insert_fp(self._table(s), i1, fp, _h64_triple(key)[1])
+        s, i1, fp, seed = self._key_coords(key)
+        victim = self._insert_fp(self._table(s), i1, fp, seed)
         if victim is not None:
             # the new key's fp was swapped in at the head of the kick chain;
             # the homeless fp belongs to some earlier key — keep it findable
             self._record_victim(s, victim)
 
     def might_contain(self, key: str) -> bool:
-        s = shard_of(key, self.n_shards)
-        ov = self.overflow.get(s, ())
-        if key in ov:
-            return True
-        fp = _fingerprint(key)
-        i1 = _i1(key, self.n_buckets)
+        s, i1, fp, _ = self._key_coords(key)
         i2 = _alt_bucket(i1, fp, self.n_buckets)
+        ov = self.overflow.get(s, ())
         if f"\x00fp:{i1}:{fp}" in ov or f"\x00fp:{i2}:{fp}" in ov:
             return True
         t = self.tables.get(s)
@@ -169,29 +187,26 @@ class CuckooShards:
     def delete(self, key: str) -> bool:
         """Remove one instance of the key's fingerprint (forced re-crawl).
         Only call for keys actually inserted — deleting a never-inserted key
-        can evict a colliding key's fingerprint (standard cuckoo caveat)."""
-        s = shard_of(key, self.n_shards)
-        ov = self.overflow.get(s)
-        fp = _fingerprint(key)
-        i1 = _i1(key, self.n_buckets)
+        (or one whose fingerprint+buckets collide with another inserted
+        key's) can evict that other key's copy: standard cuckoo caveat.
+        Table slots are preferred over victim sentinels so a delete consumes
+        the most ordinary copy first."""
+        s, i1, fp, _ = self._key_coords(key)
         i2 = _alt_bucket(i1, fp, self.n_buckets)
+        t = self.tables.get(s)
+        if t is not None:
+            for i in (i1, i2):
+                b = t[self._bucket_slots(i)]
+                hits = np.flatnonzero(b == fp)
+                if hits.size:
+                    b[hits[0]] = 0
+                    return True
+        ov = self.overflow.get(s)
         if ov:
-            if key in ov:
-                ov.discard(key)
-                return True
             for sentinel in (f"\x00fp:{i1}:{fp}", f"\x00fp:{i2}:{fp}"):
                 if sentinel in ov:
-                    ov.discard(sentinel)
+                    ov.remove(sentinel)  # one instance — multiplicity kept
                     return True
-        t = self.tables.get(s)
-        if t is None:
-            return False
-        for i in (i1, i2):
-            b = t[self._bucket_slots(i)]
-            hits = np.flatnonzero(b == fp)
-            if hits.size:
-                b[hits[0]] = 0
-                return True
         return False
 
     # -- (de)serialization / merge (same shapes as BloomShards) ---------------
@@ -201,7 +216,7 @@ class CuckooShards:
             (
                 s,
                 self._table(s).tobytes(),
-                sorted(self.overflow.get(s, ())),
+                sorted(self.overflow.get(s, [])),
             )
             for s in shard_ids
         ]
@@ -214,24 +229,25 @@ class CuckooShards:
         for s, blob, ov in rows:
             cs.tables[int(s)] = np.frombuffer(blob, dtype=np.uint16).copy()
             if ov:
-                cs.overflow[int(s)] = set(ov)
+                cs.overflow[int(s)] = list(ov)
         return cs
 
     def merge(self, other: "CuckooShards") -> "CuckooShards":
         """Re-insert the other's resident fingerprints (bucket index is known,
-        alt bucket computable from (i, fp) — the partial-key property)."""
+        alt bucket computable from (i, fp) — the partial-key property).
+        Iterates only OCCUPIED slots (flatnonzero), not all buckets: merge
+        cost is O(resident fingerprints), not O(table size)."""
         assert (self.n_shards, self.n_buckets) == (other.n_shards, other.n_buckets)
         for s, t in other.tables.items():
             mine = self._table(s)
-            for i in range(self.n_buckets):
-                for fp in t[self._bucket_slots(i)]:
-                    fp = int(fp)
-                    if fp:
-                        victim = self._insert_fp(mine, i, fp, fp)
-                        if victim is not None:
-                            self._record_victim(s, victim)
+            for idx in np.flatnonzero(t):
+                fp = int(t[idx])
+                i = int(idx) // SLOTS_PER_BUCKET
+                victim = self._insert_fp(mine, i, fp, fp)
+                if victim is not None:
+                    self._record_victim(s, victim)
         for s, ov in other.overflow.items():
-            self.overflow.setdefault(s, set()).update(ov)
+            self.overflow.setdefault(s, []).extend(ov)
         return self
 
 
@@ -281,10 +297,19 @@ def build_shards(
 def collect_shards(
     spark_df: DataFrame, n_shards: int, n_buckets: int
 ) -> CuckooShards:
-    rows = [
-        (r.shard, bytes(r.table), list(r.overflow)) for r in spark_df.collect()
-    ]
-    return CuckooShards.from_rows(rows, n_shards, n_buckets)
+    """Collect shard rows into one broadcastable CuckooShards. Duplicate
+    rows per shard id (per-round deltas) are merged by fingerprint
+    re-insertion — membership-preserving."""
+    acc = CuckooShards(n_shards, n_buckets)
+    for r in spark_df.collect():
+        acc.merge(
+            CuckooShards.from_rows(
+                [(r.shard, bytes(r.table), list(r.overflow))],
+                n_shards,
+                n_buckets,
+            )
+        )
+    return acc
 
 
 def split_by_cuckoo(

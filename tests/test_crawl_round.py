@@ -166,7 +166,7 @@ def test_cuckoo_backend_matches_oracle(spark, tmp_path):
         round_seconds=ROUND_SECONDS,
         seen_filter="cuckoo",
         bloom_shards=8,
-        bloom_bits=1 << 10,  # n_buckets for the cuckoo backend
+        cuckoo_buckets=1 << 10,
     )
     eng.bootstrap(synth.seed_frontier(spark, 200))
     eng.run(2)
@@ -188,3 +188,44 @@ def test_cuckoo_backend_matches_oracle(spark, tmp_path):
         for (h, rank, u) in batch
     ]
     assert got_order == want_order
+
+
+def test_cuckoo_replay_rewrites_delta_not_double_inserts(spark, tmp_path):
+    """Cuckoo insertion is not idempotent, so the shards table stores
+    round-keyed DELTAS: replaying a crashed round must leave the shard
+    table bit-identical to an uninterrupted run (no duplicate fps)."""
+    def mk(name):
+        return CrawlEngine(
+            spark=spark,
+            catalog=Catalog(str(tmp_path / name)),
+            robots=synth.robots_df(spark),
+            round_seconds=ROUND_SECONDS,
+            seen_filter="cuckoo",
+            bloom_shards=8,
+            cuckoo_buckets=1 << 10,
+        )
+
+    full = mk("full")
+    full.bootstrap(synth.seed_frontier(spark, 200))
+    full.run(2)
+
+    crashed = mk("crashed")
+    crashed.bootstrap(synth.seed_frontier(spark, 200))
+    crashed.run_round(0)
+    crashed.run_round(1)
+    ck = crashed.catalog.read(spark, crashed.T_CKPT).filter(F.col("round") != 1)
+    crashed.catalog.overwrite(ck, crashed.T_CKPT)
+    resumed = mk("crashed")
+    assert resumed.next_round() == 1
+    resumed.run(1)
+
+    def shard_rows(eng):
+        return sorted(
+            (r.round, r.shard, bytes(r.table).hex(), tuple(r.overflow))
+            for r in eng.catalog.read(spark, eng.T_SHARDS).collect()
+        )
+
+    assert shard_rows(full) == shard_rows(resumed)
+    a = {r.url_canon for r in full.catalog.read(spark, full.T_SEEN).collect()}
+    b = {r.url_canon for r in resumed.catalog.read(spark, resumed.T_SEEN).collect()}
+    assert a == b
