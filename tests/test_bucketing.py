@@ -75,3 +75,19 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+def test_bucket_spec_parses_metadata(spark, bucketed_tables):
+    from job_crawler_spark.operators.bucketing import bucket_spec
+
+    a, b = bucketed_tables
+    assert bucket_spec(spark, a) == (N_BUCKETS, ["o_orderkey"])
+    assert bucket_spec(spark, b) == (N_BUCKETS, ["o_orderkey"])
+    # unbucketed table -> None
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("t_unbucketed")
+    try:
+        assert bucket_spec(spark, "t_unbucketed") is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_unbucketed")
