@@ -78,8 +78,8 @@ def q_retention_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_RETENTION_SQL = f"""
     WITH wm AS (SELECT MAX(ts) - INTERVAL {RETENTION_DAYS} DAY AS wm FROM events)
     SELECT event_type,
-           SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS expirable,
-           SUM(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS retained
+           CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS expirable,
+           CAST(SUM(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS BIGINT) AS retained
     FROM events, wm GROUP BY event_type ORDER BY event_type
 """
 
@@ -109,7 +109,8 @@ def q_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DAILY_ERROR_SQL = f"""
     SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
            CASE WHEN COUNT(*) > 0 THEN
              {stable_round_sql(
                  "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
@@ -165,7 +166,8 @@ Q_USER_SESSIONS_SQL = f"""
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM flagged
     )
-    SELECT user_id, MAX(session_idx) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM sessions GROUP BY user_id ORDER BY user_id
 """
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
 AS_OF = "1998-08-01"  # fixed 'now' inside the TPC-H date range
 
 
@@ -294,7 +296,7 @@ def q_api_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.groupBy("api_name")
         .agg(
-            F.round(F.avg("response_time"), 4).alias("avg_response_time"),
+            stable_round(F.avg("response_time"), 4).alias("avg_response_time"),
             F.count(F.lit(1)).alias("request_count"),
             F.sum(F.when(F.col("status_code") >= 400, 1).otherwise(0)).alias(
                 "error_count"
@@ -304,10 +306,10 @@ def q_api_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error_rate",
             F.when(
                 F.col("request_count") > 0,
-                F.round(F.col("error_count") / F.col("request_count"), 6),
+                stable_round(F.col("error_count") / F.col("request_count"), 6),
             ).otherwise(F.lit(0.0)),
         )
-        .withColumn("success_rate", F.round(1 - F.col("error_rate"), 6))
+        .withColumn("success_rate", stable_round(1 - F.col("error_rate"), 6))
         .orderBy("api_name")
     )
 
@@ -315,15 +317,18 @@ def q_api_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_API_PERFORMANCE_SQL = f"""
     WITH m AS ({API_METRICS_SQL})
     SELECT api_name,
-           ROUND(AVG(response_time), 4) AS avg_response_time,
+           {stable_round_sql("AVG(response_time)", 4)} AS avg_response_time,
            COUNT(*) AS request_count,
-           SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS error_count,
-           CASE WHEN COUNT(*) > 0 THEN ROUND(
-               SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END)
-               / CAST(COUNT(*) AS DOUBLE), 6) ELSE 0.0 END AS error_rate,
-           ROUND(1 - CASE WHEN COUNT(*) > 0 THEN ROUND(
-               SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END)
-               / CAST(COUNT(*) AS DOUBLE), 6) ELSE 0.0 END, 6) AS success_rate
+           CAST(SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END)
+                AS BIGINT) AS error_count,
+           CASE WHEN COUNT(*) > 0 THEN {stable_round_sql(
+               "SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 6)} ELSE 0.0 END AS error_rate,
+           {stable_round_sql(
+               "1 - CASE WHEN COUNT(*) > 0 THEN " + stable_round_sql(
+                   "SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END)"
+                   " / CAST(COUNT(*) AS DOUBLE)", 6) + " ELSE 0.0 END",
+               6)} AS success_rate
     FROM m GROUP BY api_name ORDER BY api_name
 """
 
@@ -341,7 +346,7 @@ def q_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("status").contains("interview"), 1).otherwise(0)).alias(
             "interview_apps"
         ),
-        F.round(
+        stable_round(
             F.coalesce(F.avg(F.when(F.col("status") != "applied", days)), F.lit(0.0)),
             4,
         ).alias("avg_response_days"),
@@ -351,12 +356,14 @@ def q_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_RESPONSE_STATS_SQL = f"""
     WITH a AS ({APPLICATIONS_SQL})
     SELECT COUNT(*) AS total_apps,
-           SUM(CASE WHEN status <> 'applied' THEN 1 ELSE 0 END) AS responded_apps,
-           SUM(CASE WHEN status LIKE '%interview%' THEN 1 ELSE 0 END)
-               AS interview_apps,
-           ROUND(COALESCE(AVG(CASE WHEN status <> 'applied' THEN
-               datediff('day', CAST(applied_date AS DATE), DATE '{AS_OF}')
-           END), 0.0), 4) AS avg_response_days
+           CAST(SUM(CASE WHEN status <> 'applied' THEN 1 ELSE 0 END)
+                AS BIGINT) AS responded_apps,
+           CAST(SUM(CASE WHEN status LIKE '%interview%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS interview_apps,
+           {stable_round_sql(
+               "COALESCE(AVG(CASE WHEN status <> 'applied' THEN "
+               f"datediff('day', CAST(applied_date AS DATE), DATE '{AS_OF}') "
+               "END), 0.0)", 4)} AS avg_response_days
     FROM a
 """
 

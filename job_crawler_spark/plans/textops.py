@@ -131,7 +131,8 @@ def _classification_sql() -> str:
         c AS (SELECT doc_id, {exp} AS experience_level, {rem} AS remote_policy,
                      ({ben}) AS has_benefits FROM d)
         SELECT experience_level, remote_policy, COUNT(*) AS n,
-               SUM(CASE WHEN has_benefits THEN 1 ELSE 0 END) AS n_benefits
+               CAST(SUM(CASE WHEN has_benefits THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_benefits
         FROM c GROUP BY experience_level, remote_policy
         ORDER BY experience_level, remote_policy
     """
@@ -705,7 +706,7 @@ def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.octet_length("payload")).alias("total_bytes"),
-            F.max(F.octet_length("payload")).alias("max_bytes"),
+            F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
         )
         .orderBy("source")
     )
@@ -713,8 +714,8 @@ def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MEDIA_PAYLOAD_STATS_SQL = """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes,
-           MAX(octet_length(encode(text))) AS max_bytes
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY source ORDER BY source
 """
 

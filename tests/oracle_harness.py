@@ -5,6 +5,7 @@ Spark DataFrame and a DuckDB SQL result over the same parquet tables."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -24,14 +25,21 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_value(v):
+    # Type-faithful and exact: the driver gate compares arrow-typed values,
+    # so an int64 vs decimal128 (DuckDB HUGEINT from SUM(int)) or a
+    # last-ulp float difference must FAIL here too, not be masked.
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return "t" if v else "f"
+        return "b:t" if v else "b:f"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     if isinstance(v, bytes):
@@ -52,7 +60,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    # Fetch through arrow, not fetchall(): fetchall() coerces HUGEINT to a
+    # plain Python int, hiding exactly the type mismatch the driver detects.
+    d_tbl = rel.arrow()
+    d_rows = list(zip(*(c.to_pylist() for c in d_tbl.columns)))
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
