@@ -104,8 +104,16 @@ def remote_policy_col(description_lc: Column) -> Column:
 
 
 def salary_info_col(salary_min: Column, salary_max: Column) -> Column:
-    """struct(min,max,average) when both bounds present, else null (F15)."""
-    both = salary_min.isNotNull() & salary_max.isNotNull()
+    """struct(min,max,average) when both bounds present, else null (F15).
+
+    Reference truthiness (main.py:330-334 ``if salary_min and salary_max``):
+    a 0 bound is falsy there, so 0 yields no salary_info here either."""
+    both = (
+        salary_min.isNotNull()
+        & salary_max.isNotNull()
+        & (salary_min != 0)
+        & (salary_max != 0)
+    )
     return F.when(
         both,
         F.struct(
@@ -173,9 +181,10 @@ def py_extract_features(job: dict[str, Any]) -> dict[str, Any]:
 
     salary_info: dict[str, float] | None = None
     smin, smax = job.get("salary_min"), job.get("salary_max")
+    # reference truthiness (main.py:330-334): 0 bound => no salary_info
     if (
-        smin is not None
-        and smax is not None
+        smin
+        and smax
         and isinstance(smin, (int, float))
         and isinstance(smax, (int, float))
     ):

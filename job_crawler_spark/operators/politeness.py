@@ -9,9 +9,11 @@ surveyed as W2/O1.
 
 Semantics per round:
 
-1. robots filter: drop URLs on denied path prefixes / keep allowed hosts
-   (broadcast join — robots is a small dim table).
-2. per-host budget = max(1, round_seconds // crawl_delay) fetches this round.
+1. robots filter: allow/deny path prefixes with the longest-match rule
+   (most specific prefix wins, allow wins ties; broadcast join — robots is
+   a small dim table).
+2. per-host budget = max(1, round_seconds // max(1, crawl_delay)) fetches
+   this round (delay clamped so a degenerate robots row can't divide by 0).
 3. select the top-``budget`` URLs per host by the TOTAL order
    (priority DESC, url_canon ASC) — the tiebreaker makes crawl order
    bit-reproducible under any parallelism (SURVEY.md §7.3).
@@ -40,26 +42,43 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_BUCKETS = 32
 
 
+def _longest_match_len(prefixes: F.Column, path: F.Column) -> F.Column:
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (null when none match) — the robots.txt longest-match rule."""
+    return F.array_max(
+        F.transform(
+            F.filter(F.coalesce(prefixes, F.array()), path.startswith),
+            F.length,
+        )
+    )
+
+
 def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop URLs whose path starts with a denied prefix. Hosts without a
-    robots row are allowed (crawl_delay defaults applied in budget calc)."""
+    """robots.txt allow/deny with the longest-match rule: the most specific
+    matching prefix wins; on equal length allow wins. Hosts without a robots
+    row are allowed (crawl_delay defaults applied in budget calc)."""
     path = F.regexp_extract(
         F.col("url_canon"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
     )
     joined = frontier.join(
-        F.broadcast(robots.select("host", "deny", "crawl_delay")),
+        F.broadcast(robots.select("host", "allow", "deny", "crawl_delay")),
         on="host",
         how="left",
     ).withColumn("__path", F.when(path == "", "/").otherwise(path))
-    denied = F.exists(
-        F.coalesce(F.col("deny"), F.array()),
-        lambda prefix: F.col("__path").startswith(prefix),
+    deny_len = _longest_match_len(F.col("deny"), F.col("__path"))
+    allow_len = _longest_match_len(F.col("allow"), F.col("__path"))
+    denied = deny_len.isNotNull() & (
+        allow_len.isNull() | (deny_len > allow_len)
     )
-    return joined.filter(~denied).drop("deny", "__path")
+    return joined.filter(~denied).drop("allow", "deny", "__path")
 
 
 def host_budget_col(round_seconds: int = 60, default_delay: int = 1) -> F.Column:
-    delay = F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+    # clamp: a degenerate robots row with crawl_delay <= 0 must not divide
+    # by zero (Spark would yield null -> silent budget 1; the oracle raised)
+    delay = F.greatest(
+        F.lit(1), F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+    )
     return F.greatest(F.lit(1), (F.lit(round_seconds) / delay).cast("int"))
 
 
@@ -145,12 +164,24 @@ def py_schedule(
         if len(rest) == 2 and "/" in rest[1]:
             path = "/" + rest[1].split("/", 1)[1]
             path = path.split("?", 1)[0] or "/"
-        if rule and any(path.startswith(p) for p in rule["deny"]):
-            continue
+        if rule:
+            deny_len = max(
+                (len(p) for p in rule["deny"] if path.startswith(p)),
+                default=None,
+            )
+            allow_len = max(
+                (len(p) for p in rule.get("allow") or [] if path.startswith(p)),
+                default=None,
+            )
+            # longest-match rule; on equal length allow wins
+            if deny_len is not None and (
+                allow_len is None or deny_len > allow_len
+            ):
+                continue
         grouped[r["host"]].append(r)
     for host, items in grouped.items():
         rule = by_host_rules.get(host)
-        delay = rule["crawl_delay"] if rule else default_delay
+        delay = max(1, rule["crawl_delay"] if rule else default_delay)
         budget = max(1, round_seconds // delay)
         items.sort(key=lambda x: (-x["priority"], x["url_canon"]))
         for rank, item in enumerate(items[:budget], start=1):

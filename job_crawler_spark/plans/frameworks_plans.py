@@ -14,9 +14,11 @@ from job_crawler_spark.functions.compat import stable_round_sql
 from job_crawler_spark.functions.frameworks import (
     BENEFIT_CATEGORIES,
     COMPAT_WEIGHTS,
+    analysis_framework_col,
     benefit_categories_col,
     career_track_col,
     compatibility_score_col,
+    skill_gap_cols,
 )
 from job_crawler_spark.functions.text import TECH_KEYWORDS
 from job_crawler_spark.plans.relational import JOBS_SQL, jobs_df
@@ -148,6 +150,105 @@ def _benefit_counts_sql() -> str:
     """
 
 
+def q_analysis_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (main.py:361-437): the nested analysis-framework struct, flattened
+    for the driver's value-hash gate — truncated description (P1), the
+    interpolated requirements-extraction prompt (F7), and the four
+    criteria weights (the 40/25/20/15 map)."""
+    jobs = jobs_df(spark, sf_dir)
+    fw = analysis_framework_col(
+        F.col("title"), F.col("company"), F.col("description")
+    )
+    weights = F.col("fw.criteria_weights")
+    return (
+        jobs.withColumn("fw", fw)
+        .select(
+            "id",
+            F.col("fw.job_title").alias("job_title"),
+            F.col("fw.job_description").alias("job_description"),
+            F.col("fw.analysis_prompts.requirements_extraction").alias(
+                "requirements_extraction"
+            ),
+            F.element_at(weights, F.lit("technical_skills")).alias("w_technical"),
+            F.element_at(weights, F.lit("experience_level")).alias("w_experience"),
+            F.element_at(weights, F.lit("salary_alignment")).alias("w_salary"),
+            F.element_at(weights, F.lit("work_arrangement")).alias("w_work"),
+        )
+        .orderBy("id")
+    )
+
+
+def _analysis_framework_sql() -> str:
+    w = COMPAT_WEIGHTS
+    return f"""
+        WITH j AS ({JOBS_SQL})
+        SELECT id,
+               coalesce(title, '') AS job_title,
+               substring(coalesce(description, ''), 1, 800) AS job_description,
+               'Analyze this job posting and extract: required skills, '
+                 || 'nice-to-haves, experience, responsibilities, benefits, '
+                 || 'red flags.' || chr(10)
+                 || 'Job Title: ' || coalesce(title, '') || chr(10)
+                 || 'Company: ' || coalesce(company, '') || chr(10)
+                 || 'Description: ' || substring(coalesce(description, ''), 1, 800)
+                 AS requirements_extraction,
+               {w['technical_skills']} AS w_technical,
+               {w['experience_level']} AS w_experience,
+               {w['salary_alignment']} AS w_salary,
+               {w['work_arrangement']} AS w_work
+        FROM j ORDER BY id
+    """
+
+
+def q_skill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 + O5 (main.py:1446-1456): ordered set difference of required
+    skills vs the user's, preserving required order, sliced into
+    immediate (first 2) and medium-term focus."""
+    jobs = jobs_df(spark, sf_dir)
+    vocab = F.array(*[F.lit(k) for k in TECH_KEYWORDS])
+    desc = F.lower(F.col("description"))
+    title = F.lower(F.col("title"))
+    required = F.filter(vocab, lambda t: desc.contains(t) | title.contains(t))
+    user_lc = F.array(*[F.lit(s) for s in USER_SKILLS])
+    gaps = skill_gap_cols(required, user_lc)
+    return (
+        jobs.select(
+            "id",
+            gaps["missing"].alias("missing"),
+            gaps["immediate_focus"].alias("immediate_focus"),
+            gaps["medium_term"].alias("medium_term"),
+        )
+        .orderBy("id")
+    )
+
+
+def _skill_gaps_sql() -> str:
+    user = "[" + ", ".join(f"'{s}'" for s in USER_SKILLS) + "]"
+    vocab = "[" + ", ".join(f"'{k}'" for k in TECH_KEYWORDS) + "]"
+    return f"""
+        WITH j AS ({JOBS_SQL}),
+        req AS (
+          SELECT id,
+                 list_filter({vocab},
+                             t -> contains(lower(description), t)
+                                  OR contains(lower(title), t)) AS required
+          FROM j
+        ),
+        g AS (
+          SELECT id,
+                 list_filter(required,
+                             s -> NOT list_contains({user}, lower(s))) AS missing
+          FROM req
+        )
+        SELECT id, missing,
+               list_slice(missing, 1, 2) AS immediate_focus,
+               CASE WHEN len(missing) > 2
+                    THEN list_slice(missing, 3, len(missing))
+                    ELSE [] END AS medium_term
+        FROM g ORDER BY id
+    """
+
+
 def q_career_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 role classifier (main.py:1416-1440) over synthesized target roles
     (derived from part names for textual variety)."""
@@ -199,10 +300,14 @@ QUERIES = {
     "job_compatibility": q_job_compatibility,
     "benefit_category_counts": q_benefit_category_counts,
     "career_tracks": q_career_tracks,
+    "analysis_framework": q_analysis_framework,
+    "skill_gaps": q_skill_gaps,
 }
 
 ORACLES = {
     "job_compatibility": _compatibility_sql(),
     "benefit_category_counts": _benefit_counts_sql(),
     "career_tracks": _CAREER_SQL,
+    "analysis_framework": _analysis_framework_sql(),
+    "skill_gaps": _skill_gaps_sql(),
 }

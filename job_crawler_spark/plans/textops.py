@@ -61,26 +61,45 @@ _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 # --- feature extraction over driver documents --------------------------------
 
 def q_doc_tech_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F5: exploded (doc_id, tech) hits, vocabulary-order preserved by
-    construction (filter over the literal vocab array)."""
+    """F2/F5: exploded (doc_id, tech) hits over the jobs-derived corpus
+    (descriptions DO contain vocab words, so the check is non-vacuous —
+    ref extract_tech_stack scans description OR title, main.py:296-311).
+    Vocabulary-order preserved by construction (filter over the literal
+    vocab array); plain-substring match, faithfully NOT word-boundary."""
+    from job_crawler_spark.plans.relational import jobs_df
+
     vocab = F.array(*[F.lit(k) for k in TECH_KEYWORDS])
-    lc = F.lower(F.col("text"))
+    desc = F.lower(F.col("description"))
+    title = F.lower(F.col("title"))
     return (
-        _docs(spark, sf_dir)
+        jobs_df(spark, sf_dir)
         .select(
-            "doc_id",
-            F.explode(F.filter(vocab, lambda t: lc.contains(t))).alias("tech"),
+            F.col("id").alias("doc_id"),
+            F.explode(
+                F.filter(vocab, lambda t: desc.contains(t) | title.contains(t))
+            ).alias("tech"),
         )
         .orderBy("doc_id", "tech")
     )
 
 
 _VOCAB_SQL = "[" + ", ".join(f"'{k}'" for k in TECH_KEYWORDS) + "]"
-Q_DOC_TECH_STACK_SQL = f"""
-    SELECT doc_id,
-           unnest(list_filter({_VOCAB_SQL}, x -> contains(lower(text), x))) AS tech
-    FROM documents ORDER BY doc_id, tech
+
+
+def _doc_tech_stack_sql() -> str:
+    from job_crawler_spark.plans.relational import JOBS_SQL
+
+    return f"""
+    WITH j AS ({JOBS_SQL})
+    SELECT id AS doc_id,
+           unnest(list_filter({_VOCAB_SQL},
+                  x -> contains(lower(description), x)
+                       OR contains(lower(title), x))) AS tech
+    FROM j ORDER BY doc_id, tech
 """
+
+
+Q_DOC_TECH_STACK_SQL = _doc_tech_stack_sql()
 
 
 def q_doc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:

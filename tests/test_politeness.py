@@ -83,3 +83,68 @@ def test_two_phase_equals_single_phase(spark):
     a = {(r.url_canon, r.host_rank) for r in salted.collect()}
     b = {(r.url_canon, r.host_rank) for r in unsalted.collect()}
     assert a == b
+
+
+def _mini_frontier(spark, urls):
+    rows = [
+        {"url_canon": u, "host": u.split("://")[1].split("/")[0],
+         "depth": 0, "priority": 1, "round": 0}
+        for u in urls
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _robots(spark, rows):
+    from job_crawler_spark import schemas
+
+    return spark.createDataFrame(rows, schema=schemas.ROBOTS_SCHEMA)
+
+
+def test_allow_overrides_deny_longest_match(spark):
+    """Longest matching prefix wins; equal length -> allow wins.
+    Engine and python oracle must agree."""
+    robots_rows = [
+        {"host": "a.example.com", "crawl_delay": 1,
+         "allow": ["/private/open"], "deny": ["/private"]},
+        {"host": "b.example.com", "crawl_delay": 1,
+         "allow": ["/x"], "deny": ["/x"]},  # tie -> allow
+    ]
+    urls = [
+        "https://a.example.com/private/open/1",   # allow (longer allow)
+        "https://a.example.com/private/closed/1",  # deny
+        "https://a.example.com/public/1",          # no rule matches
+        "https://b.example.com/x/1",               # tie -> allow
+    ]
+    got = schedule_batch(
+        _mini_frontier(spark, urls), _robots(spark, robots_rows),
+        round_seconds=60,
+    ).collect()
+    want = py_schedule(
+        [r.asDict() for r in _mini_frontier(spark, urls).collect()],
+        robots_rows, round_seconds=60,
+    )
+    got_urls = sorted(r.url_canon for r in got)
+    assert got_urls == sorted(r["url_canon"] for r in want)
+    assert got_urls == [
+        "https://a.example.com/private/open/1",
+        "https://a.example.com/public/1",
+        "https://b.example.com/x/1",
+    ]
+
+
+def test_zero_crawl_delay_clamped(spark):
+    """crawl_delay <= 0 must not divide by zero nor silently zero the
+    budget: it clamps to 1 s (budget = round_seconds)."""
+    robots_rows = [
+        {"host": "z.example.com", "crawl_delay": 0, "allow": ["/"], "deny": []},
+    ]
+    urls = [f"https://z.example.com/p/{i}" for i in range(5)]
+    got = schedule_batch(
+        _mini_frontier(spark, urls), _robots(spark, robots_rows),
+        round_seconds=3,
+    ).collect()
+    want = py_schedule(
+        [r.asDict() for r in _mini_frontier(spark, urls).collect()],
+        robots_rows, round_seconds=3,
+    )
+    assert len(got) == len(want) == 3  # budget = 3 // max(1, 0->1) = 3

@@ -107,6 +107,18 @@ def test_salary_requires_both_bounds(spark):
     assert f["salary_info"] is None
 
 
+def test_salary_zero_bound_is_falsy(spark):
+    """Reference truthiness (main.py:330-334): a 0 bound yields no
+    salary_info — engine and python oracle must both agree."""
+    jobs = [
+        {"title": "", "description": "", "salary_min": 0, "salary_max": 90000},
+        {"title": "", "description": "", "salary_min": 50000, "salary_max": 0},
+    ]
+    for job, got in zip(jobs, _spark_features(spark, jobs)):
+        assert got["salary_info"] is None, job
+        assert py_extract_features(job)["salary_info"] is None, job
+
+
 def test_nulls_degrade_gracefully(spark):
     f = _spark_features(spark, [{"title": None, "description": None}])[0]
     assert f["tech_stack"] == []
