@@ -13,9 +13,18 @@ plain parquet + JSON manifests (SURVEY.md §7.3 "Iceberg availability"):
 - append = new manifest referencing old files + new files (no rewrite);
 - overwrite = new manifest referencing only new files (old files remain for
   time travel until expired);
+- overwrite_partition = replace only the files tagged with one partition
+  value (Iceberg dynamic partition overwrite / ``DELETE WHERE part = v``
+  then append): per-round commits stay O(round), not O(table);
 - merge_upsert = copy-on-write MERGE (Iceberg ``MERGE INTO t USING s ON
   t.key = s.key WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``);
-- read(version=k) = time travel, which is what mid-frontier resume uses.
+- read(version=k) = time travel, which is what mid-frontier resume uses;
+- row_count = manifest/footer metadata only (Iceberg carries record counts
+  in manifests) — table stats never cost a Spark scan.
+
+Manifest file entries are dicts ``{"path", "part", "rows"}``; plain-string
+entries from older manifests are still readable (untagged, rows read from
+the parquet footer on demand).
 
 On a real cluster you'd swap this for the Iceberg Spark catalog with zero
 changes above this module — the engine only calls read/append/overwrite/
@@ -62,12 +71,20 @@ class Catalog:
         with open(self._manifest_path(name, version)) as f:
             return json.load(f)
 
-    def _commit(self, name: str, files: list[str], schema_json: str) -> int:
+    @staticmethod
+    def _entry_path(entry) -> str:
+        return entry["path"] if isinstance(entry, dict) else entry
+
+    @staticmethod
+    def _entry_part(entry):
+        return entry.get("part") if isinstance(entry, dict) else None
+
+    def _commit(self, name: str, entries: list, schema_json: str) -> int:
         """Write manifest-<n+1> then atomically flip the pointer."""
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         version = self.snapshot_id(name) + 1
-        manifest = {"version": version, "files": files, "schema": schema_json}
+        manifest = {"version": version, "files": entries, "schema": schema_json}
         with open(self._manifest_path(name, version), "w") as f:
             json.dump(manifest, f)
         tmp = os.path.join(tdir, f"{_POINTER}.{uuid.uuid4().hex}.tmp")
@@ -77,15 +94,27 @@ class Catalog:
         return version
 
     # -- data-file I/O ---------------------------------------------------------
-    def _write_data(self, df: DataFrame, name: str) -> list[str]:
-        """Write df as immutable parquet files under a fresh uuid dir."""
+    def _write_data(self, df: DataFrame, name: str, part=None) -> list[dict]:
+        """Write df as immutable parquet files under a fresh uuid dir.
+        Returns manifest entries carrying partition tag + footer row counts
+        (metadata only — no data scan)."""
+        import pyarrow.parquet as pq
+
         out = os.path.join(self._tdir(name), f"data-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(out)
-        return [
-            os.path.join(out, f)
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
-        ]
+        entries = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(out, f)
+            entries.append(
+                {
+                    "path": path,
+                    "part": part,
+                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                }
+            )
+        return entries
 
     def read(
         self,
@@ -103,17 +132,52 @@ class Catalog:
         if not manifest["files"]:
             sch = schema or T.StructType.fromJson(json.loads(manifest["schema"]))
             return spark.createDataFrame([], schema=sch)
-        return spark.read.parquet(*manifest["files"])
+        return spark.read.parquet(
+            *[self._entry_path(e) for e in manifest["files"]]
+        )
+
+    def _latest_entries(self, name: str) -> list:
+        v = self.snapshot_id(name)
+        return self._read_manifest(name, v)["files"] if v >= 0 else []
 
     def overwrite(self, df: DataFrame, name: str) -> int:
-        files = self._write_data(df, name)
-        return self._commit(name, files, df.schema.json())
+        entries = self._write_data(df, name)
+        return self._commit(name, entries, df.schema.json())
 
-    def append(self, df: DataFrame, name: str) -> int:
-        new_files = self._write_data(df, name)
-        v = self.snapshot_id(name)
-        old_files = self._read_manifest(name, v)["files"] if v >= 0 else []
-        return self._commit(name, old_files + new_files, df.schema.json())
+    def append(self, df: DataFrame, name: str, part=None) -> int:
+        new_entries = self._write_data(df, name, part=part)
+        return self._commit(
+            name, self._latest_entries(name) + new_entries, df.schema.json()
+        )
+
+    def overwrite_partition(self, df: DataFrame, name: str, part) -> int:
+        """Dynamic partition overwrite: replace ONLY the files tagged with
+        ``part`` — the Iceberg ``INSERT OVERWRITE ... PARTITION`` / row-level
+        ``DELETE WHERE part = v`` + append path. Commit cost is O(this
+        partition's data), independent of table history, so a round-keyed
+        writer stays O(round) instead of O(rounds^2) cumulative. Untagged
+        legacy entries are never touched."""
+        kept = [
+            e for e in self._latest_entries(name) if self._entry_part(e) != part
+        ]
+        new_entries = self._write_data(df, name, part=part)
+        return self._commit(name, kept + new_entries, df.schema.json())
+
+    def row_count(self, name: str, version: int | None = None) -> int:
+        """Snapshot row count from manifest metadata (footers for legacy
+        untagged entries) — no Spark job, the Iceberg-manifest way."""
+        v = self.snapshot_id(name) if version is None else version
+        if v < 0:
+            return 0
+        total = 0
+        for e in self._read_manifest(name, v)["files"]:
+            if isinstance(e, dict) and e.get("rows") is not None:
+                total += e["rows"]
+            else:
+                import pyarrow.parquet as pq
+
+                total += pq.ParquetFile(self._entry_path(e)).metadata.num_rows
+        return total
 
     def merge_upsert(
         self, spark: SparkSession, name: str, source: DataFrame, key: str
@@ -125,6 +189,13 @@ class Catalog:
 
             MERGE INTO name t USING source s ON t.<key> = s.<key>
             WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+        Scale note: this stand-in rewrites the whole table (copy-on-write
+        over ALL files). Real Iceberg MERGE prunes to the data files whose
+        key ranges overlap the source (manifest min/max stats) and rewrites
+        only those; with merge-on-read it writes delete files and touches no
+        data file at all. Swap in the Iceberg catalog for that behavior —
+        the call site does not change.
         """
         if not self.exists(name):
             return self.overwrite(source, name)
@@ -133,20 +204,34 @@ class Catalog:
         merged = kept.unionByName(source)
         return self.overwrite(merged, name)
 
-    def expire_snapshots(self, name: str, keep_last: int = 5) -> None:
+    def expire_snapshots(
+        self, name: str, keep_last: int = 5, pin_floor: int | None = None
+    ) -> None:
         """Retention (reference backup cleanup, backup_manager.py:88-101):
         drop manifests older than the last ``keep_last`` and delete data
-        files no newer manifest references."""
+        files no newer manifest references.
+
+        ``pin_floor``: lowest snapshot version still referenced by a
+        checkpoint (time-travel resume reads it) — never expired even when
+        older than ``keep_last``. Callers that checkpoint pinned versions
+        MUST pass it or resume can break (CrawlEngine.expire_snapshots does).
+        """
         latest = self.snapshot_id(name)
         if latest < 0:
             return
-        keep_versions = set(range(max(0, latest - keep_last + 1), latest + 1))
+        floor = max(0, latest - keep_last + 1)
+        if pin_floor is not None:
+            floor = min(floor, max(0, pin_floor))
+        keep_versions = set(range(floor, latest + 1))
         live_files: set[str] = set()
         tdir = self._tdir(name)
         for v in keep_versions:
             p = self._manifest_path(name, v)
             if os.path.exists(p):
-                live_files.update(self._read_manifest(name, v)["files"])
+                live_files.update(
+                    self._entry_path(e)
+                    for e in self._read_manifest(name, v)["files"]
+                )
         for entry in os.listdir(tdir):
             if entry.startswith("manifest-"):
                 v = int(entry[len("manifest-"):-len(".json")])

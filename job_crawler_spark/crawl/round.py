@@ -388,15 +388,17 @@ class CrawlEngine:
         self._round_keyed_write(self.T_LOG, lineage, schemas.CRAWL_LOG_SCHEMA, round_no)
 
         n_fetched = fetched.filter(F.col("fetch_ok")).count()
+        # table stats from manifest metadata (row counts ride in the
+        # manifests) — no full-table re-scan per round
         stats_row = {
             "round": round_no,
             "scheduled": int(n_scheduled),
             "fetched": int(n_fetched),
             "failed": int(n_scheduled - n_fetched),
-            "docs_total": int(cat.read(spark, self.T_DOCS).count()),
-            "seen_total": int(cat.read(spark, self.T_SEEN, version=seen_v).count()),
+            "docs_total": int(cat.row_count(self.T_DOCS)),
+            "seen_total": int(cat.row_count(self.T_SEEN, version=seen_v)),
             "frontier_pending": int(
-                cat.read(spark, self.T_FRONTIER, version=frontier_v).count()
+                cat.row_count(self.T_FRONTIER, version=frontier_v)
             ),
             "frontier_v": int(frontier_v),
             "seen_v": int(seen_v),
@@ -415,13 +417,118 @@ class CrawlEngine:
     def _round_keyed_write(
         self, name: str, df: DataFrame, schema: T.StructType, round_no: int
     ) -> None:
-        """Rewrite = (existing rows of other rounds) + this round's rows."""
-        if self.catalog.exists(name):
-            existing = self.catalog.read(self.spark, name, schema=schema).filter(
-                F.col("round") != round_no
+        """Replace exactly this round's files (dynamic partition overwrite):
+        a replay deletes-and-rewrites only its own round's data, so the
+        commit costs O(round) — not O(total history) — per round."""
+        del schema  # kept in the signature for call-site self-documentation
+        self.catalog.overwrite_partition(df, name, round_no)
+
+    def expire_old_snapshots(self, keep_last: int = 5) -> None:
+        """Snapshot retention that can never break kill-and-resume: the
+        latest checkpoint's pinned versions are passed as expiry floors, so
+        the manifests time-travel resume needs always survive."""
+        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        row = ck.orderBy(F.col("round").desc()).limit(1).collect()
+        pins = {
+            self.T_FRONTIER: int(row[0].frontier_v) if row else None,
+            self.T_SEEN: int(row[0].seen_v) if row else None,
+            self.T_SHARDS: int(row[0].shards_v) if row else None,
+        }
+        for name in (
+            self.T_FRONTIER, self.T_SEEN, self.T_SHARDS, self.T_DOCS,
+            self.T_LOG, self.T_SCHED, self.T_CKPT,
+        ):
+            if self.catalog.exists(name):
+                self.catalog.expire_snapshots(
+                    name, keep_last=keep_last, pin_floor=pins.get(name)
+                )
+
+    # -- forced re-crawl (the capability motivating the cuckoo backend) --------
+    def force_recrawl(self, urls: DataFrame, priority: float = 1.0) -> dict:
+        """Admin op: make previously-crawled URLs crawlable again.
+
+        Steps (idempotent, checkpoint-updated LAST like a round commit —
+        a crash mid-way is invisible to the next round, which still reads
+        the old pinned versions; just re-run to complete):
+
+        1. delete each URL's fingerprint from the shard delta of the round
+           that inserted it (seen.first_round; distributed mapInPandas);
+        2. delete the rows from the exact seen table (Iceberg DELETE WHERE —
+           the stand-in rewrites; real Iceberg prunes to matching files);
+        3. re-admit the URLs to the frontier at the given priority;
+        4. update the latest checkpoint's pinned versions so the next round
+           (or a resume) reads the post-delete snapshots.
+
+        Requires the cuckoo backend — Bloom bits cannot be deleted.
+        """
+        if self.seen_filter != "cuckoo":
+            raise ValueError(
+                "force_recrawl requires seen_filter='cuckoo' "
+                "(bloom bits cannot be deleted)"
             )
-            df = existing.unionByName(df)
-        self.catalog.overwrite(df, name)
+        spark, cat = self.spark, self.catalog
+        last = self.next_round() - 1
+        ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        ck_row = ck.filter(F.col("round") == last).collect()[0].asDict()
+
+        seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
+        victims = seen.join(
+            urls.select("url_canon").distinct(), "url_canon"
+        ).cache()
+        n_victims = victims.count()
+        if n_victims == 0:
+            victims.unpersist()
+            return {"recrawl": 0}
+
+        # 1. shard deltas: rewrite only the rounds that inserted these keys
+        shards = cat.read(spark, self.T_SHARDS, schema=self._filter_schema())
+        affected = [
+            int(r.first_round)
+            for r in victims.select("first_round").distinct().collect()
+        ]
+        rewritten = cuckoo.delete_from_round_deltas(
+            shards.filter(F.col("round").isin(affected)),
+            victims,
+            self.bloom_shards,
+            self.cuckoo_buckets,
+        ).cache()
+        for rnd in affected:
+            cat.overwrite_partition(
+                rewritten.filter(F.col("round") == rnd), self.T_SHARDS, rnd
+            )
+        rewritten.unpersist()
+        shards_v = cat.snapshot_id(self.T_SHARDS)
+
+        # 2. exact seen table
+        kept = seen.join(victims.select("url_canon"), "url_canon", "left_anti")
+        seen_v = cat.overwrite(kept, self.T_SEEN)
+
+        # 3. frontier re-admission (victims were in seen, hence not pending)
+        readmitted = victims.select(
+            "url_canon",
+            host_col(F.col("url_canon")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(float(priority)).alias("priority"),
+            F.lit(last + 1).alias("round"),
+        )
+        frontier_v = cat.append(readmitted, self.T_FRONTIER)
+
+        # 4. repin the latest checkpoint (same round, new versions/counts)
+        ck_row.update(
+            {
+                "frontier_v": int(frontier_v),
+                "seen_v": int(seen_v),
+                "shards_v": int(shards_v),
+                "seen_total": int(cat.row_count(self.T_SEEN, version=seen_v)),
+                "frontier_pending": int(
+                    cat.row_count(self.T_FRONTIER, version=frontier_v)
+                ),
+            }
+        )
+        marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
+        self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
+        victims.unpersist()
+        return {"recrawl": int(n_victims), "round": last}
 
     # -- multi-round driver ---------------------------------------------------
     def run(self, max_rounds: int) -> list[dict]:

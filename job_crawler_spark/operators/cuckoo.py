@@ -268,7 +268,10 @@ def build_shards(
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         cs = CuckooShards(n_shards, n_buckets)
-        for key in pdf[key_col]:
+        # sorted: cuckoo kick paths make table bytes insertion-order
+        # dependent, and Spark's shuffle doesn't guarantee group row order —
+        # sorting pins the delta blobs byte-stable across replays
+        for key in sorted(pdf[key_col]):
             cs.add(key)
         rows = cs.to_rows()
         return pd.DataFrame(
@@ -373,3 +376,69 @@ def merge_shard_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
         .groupBy("shard")
         .applyInPandas(merge_group, schema=SHARD_SCHEMA)
     )
+
+
+def delete_from_round_deltas(
+    shards: DataFrame, victims: DataFrame, n_shards: int, n_buckets: int
+) -> DataFrame:
+    """Distributed forced-recrawl delete over round-keyed shard deltas.
+
+    ``shards``: SHARD_SCHEMA + a ``round`` column (the engine's per-round
+    deltas). ``victims``: (url_canon, first_round) — each key is deleted
+    ONLY from the delta of the round that inserted it (the seen table
+    records first_round), which avoids collateral fingerprint evictions in
+    unrelated rounds. Row-wise mapInPandas: every (round, shard) delta is
+    one independent row; the victim keys ride along via a broadcast-joined
+    array column. Returns the full input with affected deltas rewritten.
+    """
+
+    def shard_id(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "first_round": pdf["first_round"],
+                    "shard": [shard_of(u, n_shards) for u in pdf["url_canon"]],
+                    "url_canon": pdf["url_canon"],
+                }
+            )
+
+    keyed = victims.select("url_canon", "first_round").mapInPandas(
+        shard_id, "first_round int, shard int, url_canon string"
+    )
+    per_delta = keyed.groupBy(
+        F.col("first_round").alias("round"), "shard"
+    ).agg(F.sort_array(F.collect_list("url_canon")).alias("__victims"))
+
+    joined = shards.join(F.broadcast(per_delta), ["round", "shard"], "left")
+    out_schema = T.StructType(
+        list(shards.schema.fields)
+    )
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tables, overflows = [], []
+            for blob, ov, vics, shard in zip(
+                pdf["table"], pdf["overflow"], pdf["__victims"], pdf["shard"]
+            ):
+                if vics is None or len(vics) == 0:
+                    tables.append(bytes(blob))
+                    overflows.append(list(ov))
+                    continue
+                cs = CuckooShards.from_rows(
+                    [(int(shard), bytes(blob), list(ov))], n_shards, n_buckets
+                )
+                for k in vics:  # already sorted: deterministic byte output
+                    cs.delete(k)
+                rows = cs.to_rows()
+                tables.append(rows[0][1])
+                overflows.append(rows[0][2])
+            yield pd.DataFrame(
+                {
+                    "shard": pdf["shard"],
+                    "table": tables,
+                    "overflow": overflows,
+                    "round": pdf["round"],
+                }
+            )
+
+    return joined.mapInPandas(rewrite, schema=out_schema)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from job_crawler_spark.catalog import Catalog
 
 
@@ -64,3 +66,53 @@ def test_expire_snapshots_keeps_recent(spark, cat):
     assert cat.read(spark, "t", version=4).count() == 5
     with pytest.raises(FileNotFoundError):
         cat._read_manifest("t", 0)
+
+
+def test_overwrite_partition_replaces_only_that_partition(spark, cat):
+    cat.overwrite_partition(spark.range(3).withColumn("r", F.lit(0)), "p", 0)
+    cat.overwrite_partition(spark.range(5).withColumn("r", F.lit(1)), "p", 1)
+    assert cat.read(spark, "p").count() == 8
+    # replace partition 0 only; partition 1 files untouched
+    cat.overwrite_partition(spark.range(10).withColumn("r", F.lit(0)), "p", 0)
+    df = cat.read(spark, "p")
+    assert df.count() == 15
+    assert df.filter(F.col("r") == 1).count() == 5
+    # commit is O(partition): the new manifest reuses partition 1's entries
+    m = cat._read_manifest("p", cat.snapshot_id("p"))
+    parts = {e["part"] for e in m["files"]}
+    assert parts == {0, 1}
+
+
+def test_row_count_from_manifest_metadata(spark, cat):
+    cat.overwrite(spark.range(7), "rc")
+    assert cat.row_count("rc") == 7
+    v0 = cat.snapshot_id("rc")
+    cat.append(spark.range(4), "rc")
+    assert cat.row_count("rc") == 11
+    assert cat.row_count("rc", version=v0) == 7  # time-travel count
+    assert cat.row_count("nope") == 0
+
+
+def test_row_count_legacy_string_entries(spark, cat):
+    """Manifests written before entries carried row counts (plain path
+    strings) still count correctly via parquet footers."""
+    import json
+
+    cat.overwrite(spark.range(9), "legacy")
+    v = cat.snapshot_id("legacy")
+    p = cat._manifest_path("legacy", v)
+    m = json.load(open(p))
+    m["files"] = [e["path"] for e in m["files"]]  # downgrade to old format
+    json.dump(m, open(p, "w"))
+    assert cat.row_count("legacy") == 9
+    assert cat.read(spark, "legacy").count() == 9
+
+
+def test_expire_snapshots_respects_pin_floor(spark, cat):
+    for i in range(6):
+        cat.overwrite(spark.range(i + 1), "pin")
+    cat.expire_snapshots("pin", keep_last=1, pin_floor=2)
+    # pinned version 2 (and everything newer) survives
+    assert cat.read(spark, "pin", version=2).count() == 3
+    with pytest.raises(FileNotFoundError):
+        cat._read_manifest("pin", 1)
