@@ -90,6 +90,12 @@ class CrawlEngine:
     # URL-seen prefilter backend: "bloom" (default) or "cuckoo" (deletable).
     # Correctness-neutral either way — the exact anti-join is authoritative.
     seen_filter: str = "bloom"
+    # How candidate URLs consult the filter: "broadcast" ships the whole
+    # filter to every executor (shuffle-free; right while it fits — the
+    # sandbox default), "routed" shuffles candidates to their shard's
+    # reducer and probes only that shard (peak task memory = one shard,
+    # independent of filter size — the 10^10-key design point).
+    probe_mode: str = "broadcast"
     bloom_shards: int = 64
     bloom_bits: int = 1 << 20
     bloom_k: int = 5
@@ -103,6 +109,11 @@ class CrawlEngine:
         if self.seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(
                 f"seen_filter must be 'bloom' or 'cuckoo', got {self.seen_filter!r}"
+            )
+        if self.probe_mode not in ("broadcast", "routed"):
+            raise ValueError(
+                f"probe_mode must be 'broadcast' or 'routed', got "
+                f"{self.probe_mode!r}"
             )
 
     # table names
@@ -181,6 +192,17 @@ class CrawlEngine:
 
     def _split_new_vs_seen(self, not_pending: DataFrame, shards_df: DataFrame):
         shards_df = shards_df.drop("round")
+        if self.probe_mode == "routed":
+            if self.seen_filter == "bloom":
+                return bloom.split_by_bloom_routed(
+                    not_pending, shards_df,
+                    self.bloom_shards, self.bloom_bits, self.bloom_k,
+                    "url_canon",
+                )
+            return cuckoo.split_by_cuckoo_routed(
+                not_pending, shards_df,
+                self.bloom_shards, self.cuckoo_buckets, "url_canon",
+            )
         if self.seen_filter == "bloom":
             shards = bloom.collect_shards(
                 shards_df, self.bloom_shards, self.bloom_bits, self.bloom_k

@@ -16,9 +16,19 @@ an Iceberg table and the prefilter becomes **sharded Bloom bitmaps**:
 
 Sandbox sizing: shards sized for the simulated scale. Real-scale parameters
 (documented, not allocated): 10^10 keys at 10 bits/key = ~12.5 GB total →
-1024 shards of ~12 MB, each executor holding only broadcast shards it probes;
-k=7 gives ~0.8% FPR. Per-round maintenance appends only the current round's
-new URLs to the affected shards (read-modify-write per shard group).
+1024 shards of ~12 MB; k=7 gives ~0.8% FPR. Per-round maintenance appends
+only the current round's new URLs to the affected shards (round-keyed
+deltas).
+
+Two probe strategies, chosen by the engine's ``probe_mode``:
+
+- ``broadcast`` (split_by_bloom): ship the whole filter to every executor,
+  probe in-place — shuffle-free, right while the filter fits a broadcast
+  (up to a few hundred MB).
+- ``routed`` (split_by_bloom_routed): shuffle candidates to their shard's
+  reducer and probe ONLY that shard via cogroup — peak memory per task is
+  ONE shard regardless of n_shards, nothing broadcast. The 12.5 GB design
+  point runs this way; it costs one extra shuffle of the candidate batch.
 
 Hashing is hashlib.blake2b — stable across Python processes (unlike
 ``hash()``), no external deps, and independent of Spark's xxhash64 so a JVM
@@ -236,6 +246,70 @@ def split_by_bloom(
             yield pdf
 
     flagged = batch.mapInPandas(probe, schema=flag_schema)
+    if persist:
+        flagged = flagged.persist()
+    return (
+        flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
+        flagged,
+    )
+
+
+def split_by_bloom_routed(
+    batch: DataFrame,
+    shards_df: DataFrame,
+    n_shards: int,
+    m_bits: int,
+    k: int,
+    key_col: str = "url_canon",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(provably_new, maybe_seen, flagged) via SHARD-ROUTED probe.
+
+    Candidates shuffle on shard id and cogroup with that shard's delta rows
+    (OR-merged locally): each task materializes exactly one shard's bitmap,
+    so peak memory is independent of the total filter size — the scale path
+    once the filter outgrows a broadcast. ``shards_df`` is the raw shards
+    table (SHARD_SCHEMA; duplicate rows per shard = per-round deltas).
+    """
+    in_fields = list(batch.schema.fields)
+    keyed_schema = T.StructType(
+        in_fields + [T.StructField("__shard", T.IntegerType(), False)]
+    )
+    flag_schema = T.StructType(
+        in_fields + [T.StructField("__maybe_seen", T.BooleanType(), False)]
+    )
+
+    def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__shard"] = [shard_of(u, n_shards) for u in pdf[key_col]]
+            yield pdf
+
+    keyed = batch.mapInPandas(add_shard, schema=keyed_schema)
+    out_cols = [f.name for f in flag_schema.fields]
+
+    def probe_group(cand: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=out_cols)
+        cand = cand.drop(columns=["__shard"]).copy()
+        if shard_rows.empty:
+            cand["__maybe_seen"] = False
+            return cand
+        acc: np.ndarray | None = None
+        for blob in shard_rows["bitmap"]:
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        bs = BloomShards(n_shards, m_bits, k)
+        bs.bitmaps[int(shard_rows["shard"].iloc[0])] = acc
+        cand["__maybe_seen"] = [bs.might_contain(u) for u in cand[key_col]]
+        return cand
+
+    flagged = (
+        keyed.groupBy("__shard")
+        .cogroup(shards_df.groupBy("shard"))
+        .applyInPandas(probe_group, schema=flag_schema)
+    )
     if persist:
         flagged = flagged.persist()
     return (

@@ -160,14 +160,23 @@ def _first_wins_sql() -> str:
 
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 exact path: frontier URLs not in the seen set (even ids are seen).
-    left_anti == NOT EXISTS; Catalyst plans a broadcast anti-join when the
-    seen side fits, else shuffled hash anti-join."""
+
+    When the seen set derives from the SAME scan, a self-anti-join would
+    recompute the (expensive) canonicalization on both sides — Catalyst has
+    no cross-join-side CSE. One canonicalization + one shuffle instead:
+    mark each url_canon group that contains a seen member (max-over-window)
+    and keep the unmarked rows. Against a real seen TABLE (url_canon
+    pre-stored, e.g. the engine's), use anti_join_seen (operators/dedup.py)
+    — left_anti == NOT EXISTS, broadcast when the seen side fits."""
     f = frontier_df(spark, sf_dir).select(
         "id", canonicalize_url_col(F.col("url")).alias("url_canon")
     )
-    seen = f.filter(F.col("id") % 2 == 0).select("url_canon")
+    w = Window.partitionBy("url_canon")
     return (
-        f.join(seen, "url_canon", "left_anti")
+        f.withColumn(
+            "__seen", F.max((F.col("id") % 2 == 0).cast("int")).over(w)
+        )
+        .filter(F.col("__seen") == 0)
         .select("id", "url_canon")
         .orderBy("id")
     )

@@ -338,3 +338,25 @@ def test_transient_write_failure_mid_commit_converges(spark, tmp_path):
         a = {tuple(r) for r in full.catalog.read(spark, table).collect()}
         b = {tuple(r) for r in flaky.catalog.read(spark, table).collect()}
         assert a == b, table
+
+
+def test_routed_probe_engine_matches_oracle(spark, tmp_path):
+    """probe_mode='routed' (shard-routed cogroup, no broadcast) is
+    correctness-neutral: identical seen set and crawl order as the oracle."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "routed")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        probe_mode="routed",
+        bloom_shards=8,
+        bloom_bits=1 << 16,
+        bloom_k=5,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 200))
+    eng.run(2)
+    want = oracle.crawl(200, synth.robots_rows(), 2, round_seconds=ROUND_SECONDS)
+    got_seen = {
+        r.url_canon for r in eng.catalog.read(spark, eng.T_SEEN).collect()
+    }
+    assert got_seen == set(want["seen"])

@@ -108,3 +108,55 @@ def test_split_by_bloom_partitions_correctly(spark):
     # provably_new contains only truly-new keys
     assert new_set <= set(new_keys)
     assert new_set | maybe_set == set(seen_keys + new_keys)
+
+
+def test_routed_probe_equals_broadcast_probe(spark):
+    """Shard-routed cogroup probe must produce the identical split as the
+    broadcast probe (same bitmaps, same keys) — for both backends."""
+    from job_crawler_spark.operators import cuckoo
+
+    seen_keys = [f"https://a.example/{i}" for i in range(400)]
+    new_keys = [f"https://b.example/{i}" for i in range(400)]
+    seen_df = spark.createDataFrame([(k,) for k in seen_keys], "url_canon string")
+    batch = spark.createDataFrame(
+        [(k,) for k in seen_keys + new_keys], "url_canon string"
+    )
+
+    # bloom
+    shards_df = bloom.build_shards(seen_df, "url_canon", 8, 1 << 15, 5)
+    bs = bloom.collect_shards(shards_df, 8, 1 << 15, 5)
+    b_new, b_maybe, b_fl = bloom.split_by_bloom(batch, spark, bs)
+    r_new, r_maybe, r_fl = bloom.split_by_bloom_routed(
+        batch, shards_df, 8, 1 << 15, 5
+    )
+    assert {r.url_canon for r in b_new.collect()} == {
+        r.url_canon for r in r_new.collect()
+    }
+    assert {r.url_canon for r in b_maybe.collect()} == {
+        r.url_canon for r in r_maybe.collect()
+    }
+    b_fl.unpersist(); r_fl.unpersist()
+
+    # cuckoo (deltas: two builds over halves => duplicate shard rows)
+    half = len(seen_keys) // 2
+    d1 = cuckoo.build_shards(
+        spark.createDataFrame([(k,) for k in seen_keys[:half]], "url_canon string"),
+        "url_canon", 8, 1 << 10,
+    )
+    d2 = cuckoo.build_shards(
+        spark.createDataFrame([(k,) for k in seen_keys[half:]], "url_canon string"),
+        "url_canon", 8, 1 << 10,
+    )
+    deltas = d1.unionByName(d2)
+    cs = cuckoo.collect_shards(deltas, 8, 1 << 10)
+    cb_new, cb_maybe, cb_fl = cuckoo.split_by_cuckoo(batch, spark, cs)
+    cr_new, cr_maybe, cr_fl = cuckoo.split_by_cuckoo_routed(
+        batch, deltas, 8, 1 << 10
+    )
+    assert {r.url_canon for r in cb_new.collect()} == {
+        r.url_canon for r in cr_new.collect()
+    }
+    assert {r.url_canon for r in cb_maybe.collect()} == {
+        r.url_canon for r in cr_maybe.collect()
+    }
+    cb_fl.unpersist(); cr_fl.unpersist()
