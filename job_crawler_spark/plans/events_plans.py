@@ -196,8 +196,67 @@ Q_EVENT_TYPE_SHARE_SQL = f"""
 """
 
 
+def q_json_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 (ref json_formatter.py:35, health_checker.py:129): structured
+    JSON log lines as a COLUMN op — to_json(struct(...)), not a driver-side
+    serializer. Timestamps pre-formatted to a fixed pattern so the JSON
+    string is engine-independent; value rounded the stable way."""
+    ev = _events(spark, sf_dir)
+    payload = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        stable_round(F.col("value"), 4).alias("value"),
+    )
+    return ev.select(
+        "event_id", F.to_json(payload).alias("log_json")
+    ).orderBy("event_id")
+
+
+Q_JSON_LOG_LINES_SQL = f"""
+    SELECT event_id,
+           to_json(struct_pack(
+               event_id := event_id,
+               user_id := user_id,
+               event_type := event_type,
+               ts := strftime(ts, '%Y-%m-%d %H:%M:%S'),
+               value := {stable_round_sql("value", 4)}
+           )) AS log_json
+    FROM events ORDER BY event_id
+"""
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 twin over a JSON COLUMN (ref parses API JSON records,
+    main.py:214-238): from_json projection of the events.props payload —
+    schema-on-read stays in the JVM (JacksonParser), no Python."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENT_PROPS_SQL = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum,
+           MAX(CAST(props->>'k' AS INTEGER)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
+    "json_log_lines": q_json_log_lines,
+    "event_props_extract": q_event_props_extract,
     "retention_split": q_retention_split,
     "daily_error_rate": q_daily_error_rate,
     "user_sessions": q_user_sessions,
@@ -206,6 +265,8 @@ QUERIES = {
 
 ORACLES = {
     "hourly_event_counts": Q_HOURLY_SQL,
+    "json_log_lines": Q_JSON_LOG_LINES_SQL,
+    "event_props_extract": Q_EVENT_PROPS_SQL,
     "retention_split": Q_RETENTION_SQL,
     "daily_error_rate": Q_DAILY_ERROR_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
