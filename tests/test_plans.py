@@ -104,3 +104,27 @@ def test_schedule_batch_uncapped_skips_salting(spark):
     # exactly one Window node (detail headers '(n) Window'); the salted
     # two-phase path would show two
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
+
+
+def test_seen_antijoin_scans_once(spark, queries):
+    """The seen set derives from the same scan: the plan must read the
+    frontier parquet ONCE and canonicalize once (the anti-join form
+    duplicated both — no cross-join-side CSE in Catalyst)."""
+    import re
+
+    df = queries["seen_antijoin"](spark, SF_DIR)
+    plan = explain_str(df)
+    # formatted mode shows each node once in the tree and once in the
+    # detail section — count detail entries "(n) Scan parquet"
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "Window" in plan
+
+
+def test_event_props_extract_stays_jvm(spark, queries):
+    """from_json is a JVM JacksonParser projection — no Python stage, and
+    the aggregate combines map-side (partial HashAggregate)."""
+    df = queries["event_props_extract"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
