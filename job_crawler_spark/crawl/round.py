@@ -465,6 +465,60 @@ class CrawlEngine:
                     name, keep_last=keep_last, pin_floor=pins.get(name)
                 )
 
+    # -- incremental seed ingestion (streaming/continuous crawl) ---------------
+    def ingest_seeds(self, raw_frontier: DataFrame) -> int:
+        """Admit NEW seed URLs into a live crawl (micro-batch ingestion for
+        the Structured Streaming continuous-crawl loop).
+
+        Same admission pipeline as bootstrap (canonicalize -> validate ->
+        first-wins dedup), then anti-joined against BOTH the seen set and
+        the pending frontier, appended, and the latest checkpoint repinned
+        so the next round reads them. IDEMPOTENT: replaying the same batch
+        (foreachBatch redelivery after a crash) re-admits nothing — the
+        anti-joins drain it — which is what makes the streaming loop
+        exactly-once at the table level. Returns the number admitted."""
+        spark, cat = self.spark, self.catalog
+        canon = (
+            raw_frontier.filter(F.col("url").isNotNull())
+            .withColumn("url_canon", canonicalize_url_col(F.col("url")))
+            .withColumn("host", host_col(F.col("url")))
+            .filter(F.col("host") != "")
+        )
+        deduped = first_wins_agg(
+            canon.withColumn("neg_priority", -F.col("priority")),
+            ["url_canon"],
+            ["neg_priority", "url"],
+        ).select("url_canon", "host", "depth", "priority", "round")
+
+        last = self.next_round() - 1
+        ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        ck_row = ck.filter(F.col("round") == last).collect()[0].asDict()
+
+        seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
+        frontier = cat.read(spark, self.T_FRONTIER, schema=PENDING_SCHEMA)
+        fresh = (
+            anti_join_seen(deduped, seen, "url_canon")
+            .join(frontier.select("url_canon"), "url_canon", "left_anti")
+            .cache()
+        )
+        n_new = fresh.count()
+        if n_new == 0:
+            fresh.unpersist()
+            return 0
+        frontier_v = cat.append(fresh, self.T_FRONTIER)
+        fresh.unpersist()
+        ck_row.update(
+            {
+                "frontier_v": int(frontier_v),
+                "frontier_pending": int(
+                    cat.row_count(self.T_FRONTIER, version=frontier_v)
+                ),
+            }
+        )
+        marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
+        self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
+        return int(n_new)
+
     # -- forced re-crawl (the capability motivating the cuckoo backend) --------
     def force_recrawl(self, urls: DataFrame, priority: float = 1.0) -> dict:
         """Admin op: make previously-crawled URLs crawlable again.
