@@ -313,8 +313,124 @@ Q_ROLLUP_REVENUE_SQL = f"""
 """
 
 
+def q_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders with at least one
+    lineitem shipped >60 days after the order date. Catalyst plans the
+    EXISTS as a LEFT SEMI join (one probe per order, no fan-out), then a
+    partial/final count agg."""
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    late = F.col("l.l_shipdate") > (
+        F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & late,
+               "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_LATE_SHIP_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery — revenue of lineitems
+    whose quantity is below 20% of that part's average quantity. The
+    correlated AVG decorrelates to a per-part window average (one shuffle
+    on l_partkey), never a per-row subquery execution. Exact across
+    engines: quantities are integer-valued doubles, so AVG = exact-sum /
+    exact-count is bit-identical and the 0.2x filter can't flip."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    j = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#13")
+                    .select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    avg_q = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        j.withColumn("__avg_q", avg_q)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_q"))
+        .agg(
+            stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+Q_SMALL_QTY_SQL = f"""
+    SELECT {stable_round_sql("SUM(l_extendedprice) / 7.0", 2)} AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group argmin with join — for each brand, the
+    supplier quoting the lowest observed price, fully tie-broken
+    (price, s_name, l_orderkey, l_linenumber) so the winner is unique and
+    engine-independent. Window rank over at most |lineitem x part-match|
+    rows, supplier dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    j = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .select("p_brand", F.col("l_extendedprice").alias("price"),
+                "s_name", "l_orderkey", "l_linenumber")
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("price").asc(), F.col("s_name").asc(),
+        F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "price", "s_name")
+        .orderBy("p_brand")
+    )
+
+
+Q_MIN_PRICE_SQL = """
+    WITH j AS (
+      SELECT p_brand, l_extendedprice AS price, s_name,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY price ASC, s_name ASC, l_orderkey ASC,
+                        l_linenumber ASC) AS rn
+      FROM j
+    )
+    SELECT p_brand, price, s_name FROM r WHERE rn = 1 ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "tpch_late_ship_exists": q_late_ship_exists,
+    "tpch_small_qty_revenue": q_small_qty_revenue,
+    "tpch_min_price_supplier": q_min_price_supplier,
     "tpch_top_revenue_orders": q_top_revenue_orders,
     "tpch_nation_revenue": q_nation_revenue,
     "part_brand_topk": q_part_supplier_topk,
@@ -326,6 +442,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_pricing_summary": Q_PRICING_SQL,
+    "tpch_late_ship_exists": Q_LATE_SHIP_SQL,
+    "tpch_small_qty_revenue": Q_SMALL_QTY_SQL,
+    "tpch_min_price_supplier": Q_MIN_PRICE_SQL,
     "tpch_top_revenue_orders": Q_TOP_REVENUE_SQL,
     "tpch_nation_revenue": Q_NATION_REVENUE_SQL,
     "part_brand_topk": Q_PART_TOPK_SQL,
