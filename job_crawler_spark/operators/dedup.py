@@ -172,3 +172,63 @@ def exact_text_dedup(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over a dup-pair graph —
+    every node labeled with the MIN node id reachable from it (the
+    canonical representative a dedup pass keeps).
+
+    Iterative min-label propagation: each step joins labels across edges
+    (both directions) and takes the per-node min; stops when no label
+    changed. Converges in O(component diameter) steps — near-dup clusters
+    are shallow (diameter a few hops), so this beats the O(log n)
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) in practice while
+    staying 3 lines of joins; swap in star-contraction if components with
+    long chains ever appear. Each iteration persists + localCheckpoints the
+    label frame: iterative self-joins otherwise stack lineage until planning
+    itself dominates (the classic iterative-Spark trap).
+
+    ``edges``: columns (a, b) — undirected pair per row. ``nodes``: one row
+    per ``id_col`` (components of isolated nodes are themselves).
+    Output: (id_col, cluster_id).
+    """
+    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "cluster_id")

@@ -498,6 +498,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the dedup endgame: connected components over
+    the MinHash-LSH dup-pair graph, every document labeled with its
+    cluster's canonical representative (min doc_id reachable; singletons
+    are their own cluster). Iterative min-label propagation with per-step
+    lineage truncation (operators/dedup.connected_components); the oracle
+    is a recursive-CTE transitive closure."""
+    from job_crawler_spark.operators.dedup import connected_components
+
+    edges = q_minhash_lsh_pairs(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return connected_components(edges, nodes).orderBy("doc_id")
+
+
+def _dup_clusters_sql() -> str:
+    pairs = _minhash_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b
+                  FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
 def _minhash_sql() -> str:
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     sig_items = ", ".join(
@@ -750,6 +781,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "media_payload_stats": q_media_payload_stats,
@@ -766,6 +798,7 @@ ORACLES = {
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
+    "dup_clusters": _dup_clusters_sql(),
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,
     "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,

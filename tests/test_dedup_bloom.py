@@ -160,3 +160,28 @@ def test_routed_probe_equals_broadcast_probe(spark):
         r.url_canon for r in cr_maybe.collect()
     }
     cb_fl.unpersist(); cr_fl.unpersist()
+
+
+def test_connected_components_chain_star_singleton(spark):
+    """Min-label propagation handles multi-hop chains (needs >1 iteration),
+    stars, and isolated nodes; labels are the component's min id."""
+    from job_crawler_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("d2", "d3"), ("d3", "d4"), ("d4", "d5"),   # chain d2..d5
+         ("d7", "d8"), ("d7", "d9")],                 # star around d7
+        "a string, b string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 10)], "doc_id string"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {
+        "d1": "d1",
+        "d2": "d2", "d3": "d2", "d4": "d2", "d5": "d2",
+        "d6": "d6",
+        "d7": "d7", "d8": "d7", "d9": "d7",
+    }
