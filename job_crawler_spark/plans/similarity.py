@@ -286,8 +286,107 @@ def _knn_label_vote_sql() -> str:
     """
 
 
+def _quantize_int8(a: F.Column) -> F.Column:
+    """Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5) with
+    scale = max|x|/127 — floor(x+0.5) instead of round() because the two
+    engines disagree on round-half of doubles, while floor is exact."""
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = absmax / F.lit(127.0)
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+    )
+
+
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN (the memory-scale path): top-5 neighbors by cosine over
+    int8-quantized vectors — 4x smaller corpus residency than float32, the
+    standard first step before IVF/PQ at 10^10 vectors. The per-vector
+    scales CANCEL in the cosine (s_a*s_b*Σq_aq_b / (s_a|q_a| * s_b|q_b|)),
+    so scoring is integer dot / integer norms: bit-exact across engines."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", _quantize_int8(F.col("embedding")).alias("q")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def inorm(c: F.Column) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        stable_round(
+            idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 4
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_Q8_SQL = (
+    "list_transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) /"
+    " (list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE)))) / 127.0)"
+    " + 0.5) AS BIGINT))"
+)
+
+
+def _int8_topk_sql() -> str:
+    idot = (
+        "list_sum(list_transform(range(1, len(x.q) + 1),"
+        " i -> x.q[i] * y.q[i]))"
+    )
+    inorm = (
+        "sqrt(CAST(list_sum(list_transform({v}, e -> e * e)) AS DOUBLE))"
+    )
+    qcos = stable_round_sql(
+        f"CAST({idot} AS DOUBLE) / ({inorm.format(v='x.q')} * {inorm.format(v='y.q')})",
+        4,
+    )
+    return f"""
+        WITH q8 AS (SELECT vec_id, {_Q8_SQL.format(a='embedding')} AS q
+                    FROM embeddings),
+        scored AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                 {qcos} AS qcos
+          FROM q8 x JOIN q8 y ON y.vec_id <> x.vec_id
+          WHERE x.vec_id < {N_QUERIES}
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qcos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, qcos, rank FROM r
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """
+
+
 QUERIES = {
     "emb_cosine_topk": q_cosine_topk,
+    "emb_int8_topk": q_int8_topk,
     "emb_neardup_pairs": q_neardup_pairs,
     "emb_lsh_bucket_stats": q_lsh_bucket_stats,
     "emb_lsh_ann_topk": q_lsh_ann_topk,
@@ -297,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_cosine_topk": _cosine_topk_sql(),
+    "emb_int8_topk": _int8_topk_sql(),
     "emb_neardup_pairs": _neardup_sql(),
     "emb_lsh_bucket_stats": _lsh_bucket_stats_sql(),
     "emb_lsh_ann_topk": _lsh_ann_topk_sql(),

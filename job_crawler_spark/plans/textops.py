@@ -180,6 +180,73 @@ Q_TOKEN_COUNTS_SQL = f"""
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms: per-doc top-3 by tf * (N/df).
+
+    The rational surrogate N/df replaces ln(N/df) deliberately: IEEE
+    division/multiplication are correctly rounded and therefore
+    bit-identical across engines, while ln() differs in the last ulp
+    between libm and the JVM — which could flip a rank at a near-tie and
+    fail the exact value-hash gate. Monotone in the same direction, so the
+    top-k set is the classic TF-IDF one for any fixed tf. Two shuffles
+    (doc-term agg, term df agg) + one broadcast join — at corpus scale df
+    is tiny (vocab-sized) and broadcasts."""
+    from job_crawler_spark.functions.compat import stable_round
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens_col()).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = _docs(spark, sf_dir).count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        stable_round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+def _tfidf_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    score = stable_round_sql(
+        "tf * (((SELECT n FROM n) * 1.0) / df)", 6
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term, tf, df, {score} AS score
+          FROM tf JOIN dfreq USING (term)
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term ASC) AS rn
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, rn
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+    """
+
+
 # --- quality scoring -----------------------------------------------------------
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +849,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "media_payload_stats": q_media_payload_stats,
@@ -799,6 +867,7 @@ ORACLES = {
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
+    "tfidf_top_terms": _tfidf_sql(),
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,
     "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,

@@ -200,3 +200,20 @@ def test_first_wins_window_equals_agg_form(spark):
             for r in first_wins_agg(df, ["key"], ["neg_p", "url"]).collect()
         }
         assert a == b, f"trial {trial}"
+
+
+def test_int8_quantized_topk_recall(spark):
+    """Quantization quality gate: int8 top-5 must recover most of the exact
+    float top-5 (int8 keeps ~2 decimal digits of cosine resolution)."""
+    from job_crawler_spark.plans.similarity import q_cosine_topk, q_int8_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in q_cosine_topk(spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in q_int8_topk(spark, sf).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & quant.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
