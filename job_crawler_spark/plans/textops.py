@@ -247,6 +247,100 @@ def _tfidf_sql() -> str:
     """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    paper): per-doc distinct-token ratio and top-term share — the rules
+    that down-weight boilerplate/spam in LLM training corpora. Pure
+    higher-order-function projection + one small agg per doc."""
+    from job_crawler_spark.functions.compat import stable_round
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens_col()).alias("term")
+    ).filter(F.col("term") != "")
+    per_term = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("tf").alias("top_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            stable_round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            stable_round(F.col("top_tf") / F.col("n_tokens"), 4).alias(
+                "top_term_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_repetition_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               {stable_round_sql(
+                   "COUNT(*) * 1.0 / SUM(tf)", 4)} AS distinct_ratio,
+               {stable_round_sql(
+                   "MAX(tf) * 1.0 / SUM(tf)", 4)} AS top_term_share
+        FROM tf GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: hash-based, engine- and
+    run-independent (md5 of the doc id — NOT rand(), NOT xxhash64, so any
+    system that can md5 reproduces the exact split). 90/5/5 by the first
+    8 hex chars mod 100. The training-pipeline staple that makes every
+    downstream experiment comparable."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+    )
+    assigned = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+_DOC_SPLIT_SQL = """
+    WITH a AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs FROM a GROUP BY split ORDER BY split
+"""
+
+
 # --- quality scoring -----------------------------------------------------------
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +944,8 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_repetition": q_doc_repetition,
+    "doc_split_assign": q_doc_split_assign,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "media_payload_stats": q_media_payload_stats,
@@ -868,6 +964,8 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
     "tfidf_top_terms": _tfidf_sql(),
+    "doc_repetition": _doc_repetition_sql(),
+    "doc_split_assign": _DOC_SPLIT_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,
     "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,
