@@ -48,6 +48,15 @@ HEADLINE = [
     "seen_antijoin",
 ]
 
+# Round-2 additions, timed into the same queries map but summed separately
+# so `value` stays comparable round-over-round with BENCH_r01.
+EXTRA = [
+    "tfidf_top_terms",
+    "dup_clusters",
+    "emb_int8_topk",
+    "doc_repetition",
+]
+
 
 def _noop_run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -208,15 +217,23 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
         t0 = time.perf_counter()
         _noop_run(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+    for name in EXTRA:
+        # iterative queries (dup_clusters) run work at construction time —
+        # rebuild inside the timed section so the measurement includes it
+        _noop_run(queries[name](spark, sf_dir))  # warm
+        t0 = time.perf_counter()
+        _noop_run(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     crawl = crawl_throughput(spark, crawl_urls)
     spark.stop()
 
     return {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
+        "extra_total": round(sum(timings[n] for n in EXTRA), 3),
         "sf": sf_dir,
         "cpus": cpus,
         "crawl": crawl,
