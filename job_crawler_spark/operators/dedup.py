@@ -199,7 +199,14 @@ def connected_components(
     per ``id_col`` (components of isolated nodes are themselves).
     Output: (id_col, cluster_id).
     """
-    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    # materialize the (symmetrized) edge list ONCE: it is joined every
+    # iteration, and without this the whole upstream pair-generation plan
+    # (e.g. the MinHash-LSH pipeline) would re-execute per iteration
+    sym = (
+        edges.selectExpr("a", "b")
+        .union(edges.selectExpr("b AS a", "a AS b"))
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
@@ -210,6 +217,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # convergence flag computed inline: no separate old-vs-new join
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -217,18 +225,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("__changed").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "cluster_id")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "cluster_id")
