@@ -931,6 +931,46 @@ Q_MEDIA_PAYLOAD_STATS_SQL = """
 """
 
 
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: the Arrow-batched decode
+    UDF (deterministic fake kernel) AND the frame-sampling UDF, joined per
+    media item — the DuckDB oracle recomputes the same dimension/frame
+    formulas from octet_length, so the whole mapInPandas path (schema,
+    batching, per-row math) is value-checked, not just executed."""
+    from job_crawler_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = mm.decode_image_features(d).select("media_id", "width", "height")
+    frames = (
+        mm.sample_frames(d)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        feats.join(frames, "media_id")
+        .select(
+            F.col("media_id").cast("long").alias("media_id"),
+            "width", "height", "n_frames",
+        )
+        .orderBy("media_id")
+    )
+
+
+Q_MEDIA_DECODE_SQL = """
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT media_id,
+           CAST(16 + n % 64 AS INTEGER) AS width,
+           CAST(16 + (n // 64) % 64 AS INTEGER) AS height,
+           CAST(LEAST(8, GREATEST(1, n // 1024)) AS BIGINT) AS n_frames
+    FROM m ORDER BY media_id
+"""
+
+
 QUERIES = {
     "doc_tech_stack": q_doc_tech_stack,
     "doc_classification": q_doc_classification,
@@ -946,6 +986,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
+    "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "media_payload_stats": q_media_payload_stats,
@@ -966,6 +1007,7 @@ ORACLES = {
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
+    "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,
     "media_payload_stats": Q_MEDIA_PAYLOAD_STATS_SQL,
