@@ -107,3 +107,16 @@ def run_to_completion(query_df: DataFrame, tmp_dir: str) -> list:
     q.awaitTermination()
     spark = query_df.sparkSession
     return spark.table("jcs_stream_sink").collect()
+
+
+def dedup_stream(stream: DataFrame, key_cols: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (T4's streaming twin): first event per key
+    wins across micro-batches; the watermark bounds the key state Spark
+    keeps (keys older than it are evicted — at 10^10 keys unbounded state
+    is the failure mode, which is why the batch engine pairs its streaming
+    ingestion with the Bloom/cuckoo + anti-join path instead for
+    cross-ROUND history)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -217,3 +217,73 @@ def test_int8_quantized_topk_recall(spark):
     hits = sum(len(exact[q] & quant.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(edge_ids):
+    """Spark min-label propagation == classic union-find on random graphs
+    (labels are each component's min id; isolated nodes self-labeled)."""
+    from job_crawler_spark.operators.dedup import connected_components
+    from job_crawler_spark.session import get_spark
+
+    spark = get_spark("props", cores=4, shuffle_partitions=4)
+    node_ids = sorted({f"n{i:02d}" for i in range(31)})
+    edges_s = [(f"n{a:02d}", f"n{b:02d}") for a, b in edge_ids]
+
+    parent = {x: x for x in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_s:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in node_ids}
+
+    edges_df = (
+        spark.createDataFrame(edges_s or [("n00", "n00")], "a string, b string")
+        if edges_s
+        else spark.createDataFrame([], "a string, b string")
+    )
+    nodes_df = spark.createDataFrame([(x,) for x in node_ids], "doc_id string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges_df, nodes_df, max_iter=40).collect()
+    }
+    assert got == want
+
+
+def test_int8_quantization_bounds(spark):
+    """Quantized values stay in [-127, 127] and dequantization error is
+    bounded by scale/2 per element."""
+    import math
+    from pyspark.sql import functions as F
+    from job_crawler_spark.plans.similarity import _quantize_int8
+
+    vecs = [
+        [0.5, -1.25, 3.9, -0.0001, 127.0],
+        [1e-6, -1e-6, 0.0, 2.5e-5, -3.3e-4],
+        [-42.0] * 8,
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<double>")
+    rows = df.select(
+        "embedding", _quantize_int8(F.col("embedding")).alias("q")
+    ).collect()
+    for r in rows:
+        scale = max(abs(x) for x in r.embedding) / 127.0
+        for x, qi in zip(r.embedding, r.q):
+            assert -127 <= qi <= 127, (x, qi)
+            assert abs(qi * scale - x) <= scale / 2 + 1e-12, (x, qi, scale)

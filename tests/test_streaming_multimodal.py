@@ -104,3 +104,34 @@ def test_size_aware_repartition(spark):
     out = size_aware_repartition(media, target_bytes_per_partition=10_000)
     assert out.count() == 64
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of the exact URL-seen dedup:
+    duplicate user_id+event_type occurrences within the watermark horizon
+    collapse to one row; the result can never exceed the batch-distinct
+    count and must cover every distinct key."""
+    from job_crawler_spark.streaming import metrics
+
+    stream = metrics.events_stream(spark, f"{SF_DIR}/events.parquet")
+    deduped = metrics.dedup_stream(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_sink").select("user_id", "event_type").collect()
+    keys = [(r.user_id, r.event_type) for r in got]
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(keys) == batch_keys
+    assert len(keys) == len(set(keys))  # no duplicate key emitted
