@@ -277,6 +277,22 @@ class CrawlEngine:
 
     # -- one round ----------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("JCS_ROUND_TIMING"))
+        _phases: dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            # attribution is per ACTION boundary: lazy upstream work lands in
+            # the phase whose action forced it (cached frames pin boundaries)
+            nonlocal _t0
+            if _timing:
+                now = _time.perf_counter()
+                _phases[label] = round(now - _t0, 3)
+                _t0 = now
+
         spark, cat = self.spark, self.catalog
         self._check_bloom_params()
         fv, sv, shv = self._pinned_versions(round_no)
@@ -288,6 +304,7 @@ class CrawlEngine:
             salted=self.salted,
         ).cache()
         n_scheduled = batch.count()
+        _mark("schedule")
         if n_scheduled == 0:
             batch.unpersist()
             return {"round": round_no, "scheduled": 0, "done": True}
@@ -306,6 +323,7 @@ class CrawlEngine:
             F.lit(round_no).alias("round"), "host", "host_rank", "url_canon"
         )
         self._round_keyed_write(self.T_SCHED, sched, sched_schema, round_no)
+        _mark("sched_write")
 
         fetched = fetcher.fetch_pages(batch).cache()
         ok_pages = fetched.filter(F.col("fetch_ok")).select(
@@ -359,6 +377,7 @@ class CrawlEngine:
         # a partial commit never duplicates rows; reads above used the pinned
         # snapshots so the computed round is identical either way.
         cat.merge_upsert(spark, self.T_DOCS, docs, key="doc_id")
+        _mark("fetch_parse_merge_docs")
 
         latest_seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
         new_seen = anti_join_seen(
@@ -382,13 +401,16 @@ class CrawlEngine:
             self.T_SHARDS, shard_delta, self._filter_schema(), round_no
         )
         shards_v = cat.snapshot_id(self.T_SHARDS)
+        _mark("shard_delta_write")
 
         cat.append(new_seen, self.T_SEEN)
         seen_v = cat.snapshot_id(self.T_SEEN)
         new_seen.unpersist()
+        _mark("seen_append")
 
         new_frontier = remaining.unionByName(discovered)
         frontier_v = cat.overwrite(new_frontier, self.T_FRONTIER)
+        _mark("frontier_write")
 
         # per-partition lineage (round-keyed rewrite = replay-idempotent)
         lineage = (
@@ -408,8 +430,10 @@ class CrawlEngine:
             "spans_parsed", F.lit(int(spans_count)).cast("long")
         ).select(schemas.CRAWL_LOG_SCHEMA.fieldNames())
         self._round_keyed_write(self.T_LOG, lineage, schemas.CRAWL_LOG_SCHEMA, round_no)
+        _mark("lineage_write")
 
         n_fetched = fetched.filter(F.col("fetch_ok")).count()
+        _mark("stats")
         # table stats from manifest metadata (row counts ride in the
         # manifests) — no full-table re-scan per round
         stats_row = {
@@ -434,6 +458,9 @@ class CrawlEngine:
         parsed.unpersist()
         flagged.unpersist()
         self.stats.append(stats_row)
+        if _timing:
+            _mark("checkpoint_write")
+            return {**stats_row, "done": False, "phase_seconds": _phases}
         return {**stats_row, "done": False}
 
     def _round_keyed_write(
