@@ -140,6 +140,15 @@ class Catalog:
         v = self.snapshot_id(name)
         return self._read_manifest(name, v)["files"] if v >= 0 else []
 
+    def table_schema(self, name: str) -> T.StructType | None:
+        """Committed schema of the latest snapshot (None if absent)."""
+        v = self.snapshot_id(name)
+        if v < 0:
+            return None
+        return T.StructType.fromJson(
+            json.loads(self._read_manifest(name, v)["schema"])
+        )
+
     def overwrite(self, df: DataFrame, name: str) -> int:
         entries = self._write_data(df, name)
         return self._commit(name, entries, df.schema.json())

@@ -103,6 +103,12 @@ class CrawlEngine:
     # the same footprint as the bloom default, NOT bloom_bits (a 1<<20-bucket
     # table would be 8 MiB/shard, 512 MiB broadcast per round)
     cuckoo_buckets: int = 1 << 14
+    # documents commit strategy: "mor" (default) = merge-on-read — append a
+    # round-keyed partition per round (O(round) commit, like real Iceberg
+    # MoR; read through read_docs(), fold superseded copies with
+    # compact_docs()); "cow" = copy-on-write MERGE (whole-table rewrite per
+    # round — the Iceberg-MERGE parity mode, exact table = visible rows).
+    docs_mode: str = "mor"
     stats: list[dict] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -114,6 +120,10 @@ class CrawlEngine:
             raise ValueError(
                 f"probe_mode must be 'broadcast' or 'routed', got "
                 f"{self.probe_mode!r}"
+            )
+        if self.docs_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"docs_mode must be 'cow' or 'mor', got {self.docs_mode!r}"
             )
 
     # table names
@@ -295,6 +305,7 @@ class CrawlEngine:
 
         spark, cat = self.spark, self.catalog
         self._check_bloom_params()
+        self._check_docs_mode()
         fv, sv, shv = self._pinned_versions(round_no)
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
@@ -376,7 +387,20 @@ class CrawlEngine:
         # Writes are computed against the LATEST snapshots so a replay after
         # a partial commit never duplicates rows; reads above used the pinned
         # snapshots so the computed round is identical either way.
-        cat.merge_upsert(spark, self.T_DOCS, docs, key="doc_id")
+        if self.docs_mode == "mor":
+            # merge-on-read: append this round's docs as a round-keyed
+            # partition (O(round) commit); superseded copies (only possible
+            # after a forced re-crawl) are resolved at read time by
+            # read_docs()'s latest-wins window, and compact_docs() is the
+            # Iceberg-compaction analog that folds them away.
+            self._round_keyed_write(
+                self.T_DOCS,
+                docs.withColumn("round", F.lit(round_no)),
+                None,
+                round_no,
+            )
+        else:
+            cat.merge_upsert(spark, self.T_DOCS, docs, key="doc_id")
         _mark("fetch_parse_merge_docs")
 
         latest_seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
@@ -491,6 +515,71 @@ class CrawlEngine:
                 self.catalog.expire_snapshots(
                     name, keep_last=keep_last, pin_floor=pins.get(name)
                 )
+
+    # -- documents read/compaction (merge-on-read mode) -------------------------
+    def read_docs(self, version: int | None = None) -> DataFrame:
+        """The documents table as users see it: in cow mode the stored rows;
+        in mor mode latest-wins per doc_id (max round; copies within one
+        round are bit-identical by determinism, so any pick is the same)."""
+        docs = self.catalog.read(self.spark, self.T_DOCS, version=version)
+        if self.docs_mode == "cow" or "round" not in docs.columns:
+            return docs
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("round").desc())
+        return (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "round")
+        )
+
+    def compact_docs(self) -> int:
+        """Fold superseded doc copies away (Iceberg compaction analog): one
+        full rewrite, amortized across however many rounds ran since the
+        last compaction — run it on a schedule, not per round. Keeps the
+        round column (partition tags survive) so replay semantics hold."""
+        if self.docs_mode != "mor":
+            return self.catalog.snapshot_id(self.T_DOCS)
+        docs = self.catalog.read(self.spark, self.T_DOCS)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("round").desc())
+        latest = (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # rewrite per round partition so future replays still target their
+        # own round's files only
+        rounds = [
+            int(r.round) for r in latest.select("round").distinct().collect()
+        ]
+        latest = latest.cache()
+        v = self.catalog.snapshot_id(self.T_DOCS)
+        for rnd in rounds:
+            v = self.catalog.overwrite_partition(
+                latest.filter(F.col("round") == rnd), self.T_DOCS, rnd
+            )
+        latest.unpersist()
+        return v
+
+    def _check_docs_mode(self) -> None:
+        """A mor catalog has a round column in documents; resuming it in cow
+        mode (or vice versa) would silently mix semantics — refuse."""
+        schema = self.catalog.table_schema(self.T_DOCS)
+        if schema is None:
+            return
+        has_round = "round" in schema.fieldNames()
+        if has_round and self.docs_mode != "mor":
+            raise ValueError(
+                "documents table is merge-on-read (has a round column); "
+                "configure CrawlEngine(docs_mode='mor') to resume it"
+            )
+        if not has_round and self.docs_mode != "cow":
+            raise ValueError(
+                "documents table is copy-on-write; configure "
+                "CrawlEngine(docs_mode='cow') to resume it"
+            )
 
     # -- incremental seed ingestion (streaming/continuous crawl) ---------------
     def ingest_seeds(self, raw_frontier: DataFrame) -> int:

@@ -360,3 +360,84 @@ def test_routed_probe_engine_matches_oracle(spark, tmp_path):
         r.url_canon for r in eng.catalog.read(spark, eng.T_SEEN).collect()
     }
     assert got_seen == set(want["seen"])
+
+
+def test_mor_docs_mode_matches_cow(spark, tmp_path):
+    """Merge-on-read documents (O(round) append commits) must be user-
+    indistinguishable from copy-on-write MERGE: identical read_docs()
+    content, identical seen set; mode mismatch on resume refuses."""
+    def mk(name, mode):
+        return CrawlEngine(
+            spark=spark,
+            catalog=Catalog(str(tmp_path / name)),
+            robots=synth.robots_df(spark),
+            round_seconds=ROUND_SECONDS,
+            docs_mode=mode,
+            bloom_shards=8,
+            bloom_bits=1 << 16,
+            bloom_k=5,
+        )
+
+    cow = mk("cow", "cow")
+    cow.bootstrap(synth.seed_frontier(spark, 200))
+    cow.run(2)
+    mor = mk("mor", "mor")
+    mor.bootstrap(synth.seed_frontier(spark, 200))
+    mor.run(2)
+
+    def doc_map(eng):
+        return {
+            r.doc_id: [tuple(s) for s in r.spans]
+            for r in eng.read_docs().select("doc_id", "spans").collect()
+        }
+
+    assert doc_map(cow) == doc_map(mor)
+    a = {r.url_canon for r in cow.catalog.read(spark, cow.T_SEEN).collect()}
+    b = {r.url_canon for r in mor.catalog.read(spark, mor.T_SEEN).collect()}
+    assert a == b
+
+    # resuming a mor catalog in cow mode refuses (and vice versa)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        mk("mor", "cow").run_round(2)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        mk("cow", "mor").run_round(2)
+
+    # compaction folds nothing on the clean path but preserves content
+    before = doc_map(mor)
+    mor.compact_docs()
+    assert doc_map(mor) == before
+
+
+def test_mor_force_recrawl_updates_doc_latest_wins(spark, tmp_path):
+    """mor + cuckoo force_recrawl: the re-crawled doc's new copy supersedes
+    the old at read time; compaction folds the superseded copy away."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "morfr")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        docs_mode="mor",
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 150))
+    eng.run(2)
+    target = (
+        eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == 0).limit(1).collect()[0].url_canon
+    )
+    eng.force_recrawl(
+        spark.createDataFrame([(target,)], "url_canon string"), priority=100.0
+    )
+    eng.run_round(eng.next_round())
+
+    raw = eng.catalog.read(spark, eng.T_DOCS).filter(F.col("doc_id") == target)
+    assert raw.count() == 2  # old + re-crawled copy coexist in storage
+    visible = eng.read_docs().filter(F.col("doc_id") == target)
+    assert visible.count() == 1  # latest wins at read time
+
+    n_before = eng.catalog.row_count(eng.T_DOCS)
+    eng.compact_docs()
+    assert eng.catalog.row_count(eng.T_DOCS) == n_before - 1
+    assert eng.read_docs().filter(F.col("doc_id") == target).count() == 1
