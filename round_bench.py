@@ -4,7 +4,8 @@ bench.py's crawl_throughput measures the dataflow (schedule -> fetch ->
 parse -> enrich); this harness runs CrawlEngine.run_round end-to-end —
 politeness scheduling, Bloom-prefiltered frontier dedup, MERGE of
 documents, seen/shards/frontier/lineage/checkpoint commits — so the
-per-round commit overhead is measured, not assumed. Writes BENCH/ROUNDS.md.
+per-round commit overhead is measured, not assumed. Writes
+BENCH/ROUNDS_LAST.md (BENCH/ROUNDS.md is the curated cross-run analysis).
 """
 
 from __future__ import annotations
@@ -73,7 +74,7 @@ def main() -> dict:
         "cores": CORES,
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/ROUNDS.md", "w") as f:
+    with open("BENCH/ROUNDS_LAST.md", "w") as f:
         f.write(
             "# Engine round-loop benchmark (commits included)\n\n"
             f"CrawlEngine.run_round on a {N_SEEDS:,}-seed frontier, "
