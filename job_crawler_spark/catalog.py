@@ -149,8 +149,10 @@ class Catalog:
             json.loads(self._read_manifest(name, v)["schema"])
         )
 
-    def overwrite(self, df: DataFrame, name: str) -> int:
-        entries = self._write_data(df, name)
+    def overwrite(self, df: DataFrame, name: str, part=None) -> int:
+        """Replace the whole table. ``part`` tags the new files so a later
+        overwrite_partition(part) can replace them selectively."""
+        entries = self._write_data(df, name, part=part)
         return self._commit(name, entries, df.schema.json())
 
     def append(self, df: DataFrame, name: str, part=None) -> int:
@@ -171,6 +173,18 @@ class Catalog:
         ]
         new_entries = self._write_data(df, name, part=part)
         return self._commit(name, kept + new_entries, df.schema.json())
+
+    def is_pure_append(self, name: str, from_v: int, to_v: int) -> bool:
+        """True when every file of snapshot ``from_v`` is still present in
+        ``to_v`` — i.e. the lineage between them only ADDED files. An
+        overwrite (round commit) replaces files and breaks the superset.
+        Lets a crash-healer distinguish adoptable append-only progress from
+        a crashed overwrite that must be replayed instead."""
+        if to_v < from_v:
+            return False
+        old = {self._entry_path(e) for e in self._read_manifest(name, from_v)["files"]}
+        new = {self._entry_path(e) for e in self._read_manifest(name, to_v)["files"]}
+        return old <= new
 
     def row_count(self, name: str, version: int | None = None) -> int:
         """Snapshot row count from manifest metadata (footers for legacy

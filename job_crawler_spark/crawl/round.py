@@ -261,7 +261,10 @@ class CrawlEngine:
             ],
             schema=CHECKPOINT_SCHEMA,
         )
-        self.catalog.overwrite(marker, self.T_CKPT)
+        # tagged with its round: a pre-round-0 seed ingest repins this row
+        # via overwrite_partition(-1), which must replace — not duplicate —
+        # the bootstrap marker
+        self.catalog.overwrite(marker, self.T_CKPT, part=-1)
 
     # -- resume ------------------------------------------------------------------
     def next_round(self) -> int:
@@ -276,7 +279,14 @@ class CrawlEngine:
         PREVIOUS round's checkpoint committed. Replays therefore recompute
         from identical inputs even when later snapshots already exist."""
         ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
-        row = ck.filter(F.col("round") == round_no - 1).collect()
+        # newest-version row wins if a legacy (untagged) catalog ever holds
+        # duplicate rows for one round: the latest repin supersedes
+        row = (
+            ck.filter(F.col("round") == round_no - 1)
+            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            .limit(1)
+            .collect()
+        )
         if not row:
             raise RuntimeError(
                 f"no checkpoint for round {round_no - 1}; bootstrap first or "
@@ -307,6 +317,15 @@ class CrawlEngine:
         self._check_bloom_params()
         self._check_docs_mode()
         fv, sv, shv = self._pinned_versions(round_no)
+        # adopt unpinned APPEND-only frontier progress (a seed ingest that
+        # crashed before its repin): commits are atomic, appends only add
+        # pending rows, and a replay re-adopts at least the same set — the
+        # round's final state stays consistent (its batch is a superset of
+        # any crashed attempt's). Overwrites ahead of the pin are a crashed
+        # ROUND and belong to its replay, never adopted here.
+        latest_fv = cat.snapshot_id(self.T_FRONTIER)
+        if latest_fv > fv and cat.is_pure_append(self.T_FRONTIER, fv, latest_fv):
+            fv = latest_fv
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
 
@@ -459,7 +478,11 @@ class CrawlEngine:
         n_fetched = fetched.filter(F.col("fetch_ok")).count()
         _mark("stats")
         # table stats from manifest metadata (row counts ride in the
-        # manifests) — no full-table re-scan per round
+        # manifests) — no full-table re-scan per round. In mor docs mode
+        # docs_total counts PHYSICAL rows: equal to read_docs().count()
+        # until a forced re-crawl leaves a superseded copy; compact_docs()
+        # restores equality — the same approximate-until-compaction stats
+        # semantics Iceberg MoR has with pending deletes.
         stats_row = {
             "round": round_no,
             "scheduled": int(n_scheduled),
@@ -550,9 +573,11 @@ class CrawlEngine:
             .drop("__rn")
         )
         # rewrite per round partition so future replays still target their
-        # own round's files only
+        # own round's files only — over ALL stored rounds, not just those
+        # with surviving rows: a fully-superseded round's partition must be
+        # emptied or its stale copies would outlive every compaction
         rounds = [
-            int(r.round) for r in latest.select("round").distinct().collect()
+            int(r.round) for r in docs.select("round").distinct().collect()
         ]
         latest = latest.cache()
         v = self.catalog.snapshot_id(self.T_DOCS)
@@ -592,7 +617,15 @@ class CrawlEngine:
         so the next round reads them. IDEMPOTENT: replaying the same batch
         (foreachBatch redelivery after a crash) re-admits nothing — the
         anti-joins drain it — which is what makes the streaming loop
-        exactly-once at the table level. Returns the number admitted."""
+        exactly-once at the table level.
+
+        Crash-window healing: if a previous ingest appended but crashed
+        before the repin, the appended rows exist only in an UNPINNED
+        frontier snapshot (the next round would overwrite them away from
+        the stale pin). Every ingest therefore repins the LATEST frontier
+        version even when it admits nothing new — commits are atomic, so
+        the latest version is always a complete state, and repinning it
+        completes any crashed predecessor. Returns the number admitted."""
         spark, cat = self.spark, self.catalog
         canon = (
             raw_frontier.filter(F.col("url").isNotNull())
@@ -608,7 +641,26 @@ class CrawlEngine:
 
         last = self.next_round() - 1
         ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
-        ck_row = ck.filter(F.col("round") == last).collect()[0].asDict()
+        ck_row = (
+            ck.filter(F.col("round") == last)
+            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            .limit(1)
+            .collect()[0]
+            .asDict()
+        )
+
+        pinned_fv = int(ck_row["frontier_v"])
+        latest_fv = cat.snapshot_id(self.T_FRONTIER)
+        if latest_fv != pinned_fv and not cat.is_pure_append(
+            self.T_FRONTIER, pinned_fv, latest_fv
+        ):
+            # unpinned OVERWRITE ahead of the pin = a crashed round; its
+            # replay owns the frontier — adopting it here would corrupt
+            # the replay's inputs
+            raise RuntimeError(
+                "unpinned non-append frontier state detected (crashed "
+                "round?); replay it first: run_round(next_round())"
+            )
 
         seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
         frontier = cat.read(spark, self.T_FRONTIER, schema=PENDING_SCHEMA)
@@ -620,28 +672,31 @@ class CrawlEngine:
         n_new = fresh.count()
         if n_new == 0:
             fresh.unpersist()
-            return 0
-        frontier_v = cat.append(fresh, self.T_FRONTIER)
-        fresh.unpersist()
-        ck_row.update(
-            {
-                "frontier_v": int(frontier_v),
-                "frontier_pending": int(
-                    cat.row_count(self.T_FRONTIER, version=frontier_v)
-                ),
-            }
-        )
-        marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
-        self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
+            frontier_v = latest_fv  # adopt crashed-ingest appends, if any
+        else:
+            frontier_v = cat.append(fresh, self.T_FRONTIER)
+            fresh.unpersist()
+        if frontier_v != int(ck_row["frontier_v"]):
+            # repin (also heals a predecessor that appended then crashed)
+            ck_row.update(
+                {
+                    "frontier_v": int(frontier_v),
+                    "frontier_pending": int(
+                        cat.row_count(self.T_FRONTIER, version=frontier_v)
+                    ),
+                }
+            )
+            marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
+            self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
         return int(n_new)
 
     # -- forced re-crawl (the capability motivating the cuckoo backend) --------
     def force_recrawl(self, urls: DataFrame, priority: float = 1.0) -> dict:
         """Admin op: make previously-crawled URLs crawlable again.
 
-        Steps (idempotent, checkpoint-updated LAST like a round commit —
-        a crash mid-way is invisible to the next round, which still reads
-        the old pinned versions; just re-run to complete):
+        Steps (checkpoint-updated LAST like a round commit — a crash
+        mid-way is invisible to the next round, which still reads the old
+        pinned versions; RE-RUNNING THE SAME CALL COMPLETES IT):
 
         1. delete each URL's fingerprint from the shard delta of the round
            that inserted it (seen.first_round; distributed mapInPandas);
@@ -650,6 +705,14 @@ class CrawlEngine:
         3. re-admit the URLs to the frontier at the given priority;
         4. update the latest checkpoint's pinned versions so the next round
            (or a resume) reads the post-delete snapshots.
+
+        Re-runnability: the re-admission set is (urls ∩ seen) ∪ (urls not
+        in seen AND not pending) — the second term is exactly where a
+        half-completed predecessor left its victims (seen already deleted,
+        not yet re-admitted); it also makes a forced crawl of a never-seen
+        URL work, which is the natural semantics. The final repin always
+        publishes the LATEST snapshots, adopting any committed-but-unpinned
+        progress.
 
         Requires the cuckoo backend — Bloom bits cannot be deleted.
         """
@@ -661,56 +724,87 @@ class CrawlEngine:
         spark, cat = self.spark, self.catalog
         last = self.next_round() - 1
         ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
-        ck_row = ck.filter(F.col("round") == last).collect()[0].asDict()
+        ck_row = (
+            ck.filter(F.col("round") == last)
+            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            .limit(1)
+            .collect()[0]
+            .asDict()
+        )
+        pinned_fv = int(ck_row["frontier_v"])
+        latest_fv = cat.snapshot_id(self.T_FRONTIER)
+        if latest_fv != pinned_fv and not cat.is_pure_append(
+            self.T_FRONTIER, pinned_fv, latest_fv
+        ):
+            raise RuntimeError(
+                "unpinned non-append frontier state detected (crashed "
+                "round?); replay it first: run_round(next_round())"
+            )
 
+        urls = urls.select("url_canon").distinct()
         seen = cat.read(spark, self.T_SEEN, schema=schemas.SEEN_SCHEMA)
-        victims = seen.join(
-            urls.select("url_canon").distinct(), "url_canon"
-        ).cache()
+        frontier = cat.read(spark, self.T_FRONTIER, schema=PENDING_SCHEMA)
+        victims = seen.join(urls, "url_canon").cache()
         n_victims = victims.count()
-        if n_victims == 0:
-            victims.unpersist()
-            return {"recrawl": 0}
 
         # 1. shard deltas: rewrite only the rounds that inserted these keys
-        shards = cat.read(spark, self.T_SHARDS, schema=self._filter_schema())
-        affected = [
-            int(r.first_round)
-            for r in victims.select("first_round").distinct().collect()
-        ]
-        rewritten = cuckoo.delete_from_round_deltas(
-            shards.filter(F.col("round").isin(affected)),
-            victims,
-            self.bloom_shards,
-            self.cuckoo_buckets,
-        ).cache()
-        for rnd in affected:
-            cat.overwrite_partition(
-                rewritten.filter(F.col("round") == rnd), self.T_SHARDS, rnd
+        if n_victims > 0:
+            shards = cat.read(spark, self.T_SHARDS, schema=self._filter_schema())
+            affected = [
+                int(r.first_round)
+                for r in victims.select("first_round").distinct().collect()
+            ]
+            rewritten = cuckoo.delete_from_round_deltas(
+                shards.filter(F.col("round").isin(affected)),
+                victims,
+                self.bloom_shards,
+                self.cuckoo_buckets,
+            ).cache()
+            for rnd in affected:
+                cat.overwrite_partition(
+                    rewritten.filter(F.col("round") == rnd), self.T_SHARDS, rnd
+                )
+            rewritten.unpersist()
+
+            # 2. exact seen table
+            kept = seen.join(victims.select("url_canon"), "url_canon", "left_anti")
+            cat.overwrite(kept, self.T_SEEN)
+
+        # 3. frontier re-admission: victims + any url a crashed predecessor
+        # already removed from seen but never re-admitted (and never-seen
+        # urls, the natural forced-crawl of an unknown URL) — minus anything
+        # already pending
+        to_readmit = (
+            victims.select("url_canon")
+            .unionByName(
+                urls.join(seen.select("url_canon"), "url_canon", "left_anti")
             )
-        rewritten.unpersist()
-        shards_v = cat.snapshot_id(self.T_SHARDS)
-
-        # 2. exact seen table
-        kept = seen.join(victims.select("url_canon"), "url_canon", "left_anti")
-        seen_v = cat.overwrite(kept, self.T_SEEN)
-
-        # 3. frontier re-admission (victims were in seen, hence not pending)
-        readmitted = victims.select(
+            .join(frontier.select("url_canon"), "url_canon", "left_anti")
+            .distinct()
+        )
+        readmitted = to_readmit.select(
             "url_canon",
             host_col(F.col("url_canon")).alias("host"),
             F.lit(0).alias("depth"),
             F.lit(float(priority)).alias("priority"),
             F.lit(last + 1).alias("round"),
-        )
-        frontier_v = cat.append(readmitted, self.T_FRONTIER)
+        ).cache()
+        n_readmit = readmitted.count()
+        if n_readmit > 0:
+            cat.append(readmitted, self.T_FRONTIER)
+        readmitted.unpersist()
+        victims.unpersist()
+        if n_victims == 0 and n_readmit == 0:
+            return {"recrawl": 0, "round": last}
 
-        # 4. repin the latest checkpoint (same round, new versions/counts)
+        # 4. repin the latest checkpoint (same round, latest versions/counts)
+        seen_v = cat.snapshot_id(self.T_SEEN)
+        frontier_v = cat.snapshot_id(self.T_FRONTIER)
         ck_row.update(
             {
                 "frontier_v": int(frontier_v),
                 "seen_v": int(seen_v),
-                "shards_v": int(shards_v),
+                "shards_v": int(cat.snapshot_id(self.T_SHARDS)),
                 "seen_total": int(cat.row_count(self.T_SEEN, version=seen_v)),
                 "frontier_pending": int(
                     cat.row_count(self.T_FRONTIER, version=frontier_v)
@@ -719,8 +813,8 @@ class CrawlEngine:
         )
         marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
         self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
-        victims.unpersist()
-        return {"recrawl": int(n_victims), "round": last}
+        return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
+                "round": last}
 
     # -- multi-round driver ---------------------------------------------------
     def run(self, max_rounds: int) -> list[dict]:

@@ -264,56 +264,21 @@ def split_by_bloom_routed(
     key_col: str = "url_canon",
     persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(provably_new, maybe_seen, flagged) via SHARD-ROUTED probe.
+    """(provably_new, maybe_seen, flagged) via SHARD-ROUTED probe — see
+    operators/routing.py for the shared scaffold. Per-shard blobs are
+    OR-merged locally before probing (duplicate rows per shard id are the
+    engine's per-round deltas)."""
+    from job_crawler_spark.operators.routing import split_by_routed
 
-    Candidates shuffle on shard id and cogroup with that shard's delta rows
-    (OR-merged locally): each task materializes exactly one shard's bitmap,
-    so peak memory is independent of the total filter size — the scale path
-    once the filter outgrows a broadcast. ``shards_df`` is the raw shards
-    table (SHARD_SCHEMA; duplicate rows per shard = per-round deltas).
-    """
-    in_fields = list(batch.schema.fields)
-    keyed_schema = T.StructType(
-        in_fields + [T.StructField("__shard", T.IntegerType(), False)]
-    )
-    flag_schema = T.StructType(
-        in_fields + [T.StructField("__maybe_seen", T.BooleanType(), False)]
-    )
-
-    def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__shard"] = [shard_of(u, n_shards) for u in pdf[key_col]]
-            yield pdf
-
-    keyed = batch.mapInPandas(add_shard, schema=keyed_schema)
-    out_cols = [f.name for f in flag_schema.fields]
-
-    def probe_group(cand: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
-        if cand.empty:
-            return pd.DataFrame(columns=out_cols)
-        cand = cand.drop(columns=["__shard"]).copy()
-        if shard_rows.empty:
-            cand["__maybe_seen"] = False
-            return cand
+    def probe(shard_rows: pd.DataFrame, keys) -> list:
         acc: np.ndarray | None = None
         for blob in shard_rows["bitmap"]:
             arr = np.frombuffer(bytes(blob), dtype=np.uint8)
             acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
         bs = BloomShards(n_shards, m_bits, k)
         bs.bitmaps[int(shard_rows["shard"].iloc[0])] = acc
-        cand["__maybe_seen"] = [bs.might_contain(u) for u in cand[key_col]]
-        return cand
+        return [bs.might_contain(u) for u in keys]
 
-    flagged = (
-        keyed.groupBy("__shard")
-        .cogroup(shards_df.groupBy("shard"))
-        .applyInPandas(probe_group, schema=flag_schema)
-    )
-    if persist:
-        flagged = flagged.persist()
-    return (
-        flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
-        flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
-        flagged,
+    return split_by_routed(
+        batch, shards_df, key_col, n_shards, shard_of, probe, persist
     )

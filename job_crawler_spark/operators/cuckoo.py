@@ -452,34 +452,12 @@ def split_by_cuckoo_routed(
     key_col: str = "url_canon",
     persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shard-routed probe (see bloom.split_by_bloom_routed): candidates
-    shuffle to their shard's reducer and cogroup with that shard's round
-    deltas (merged locally) — peak task memory is one shard's table,
-    independent of the total filter size; nothing broadcast."""
-    in_fields = list(batch.schema.fields)
-    keyed_schema = T.StructType(
-        in_fields + [T.StructField("__shard", T.IntegerType(), False)]
-    )
-    flag_schema = T.StructType(
-        in_fields + [T.StructField("__maybe_seen", T.BooleanType(), False)]
-    )
+    """Shard-routed probe — shared scaffold in operators/routing.py; this
+    backend merges the shard's round deltas by fingerprint re-insertion
+    before probing."""
+    from job_crawler_spark.operators.routing import split_by_routed
 
-    def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__shard"] = [shard_of(u, n_shards) for u in pdf[key_col]]
-            yield pdf
-
-    keyed = batch.mapInPandas(add_shard, schema=keyed_schema)
-    out_cols = [f.name for f in flag_schema.fields]
-
-    def probe_group(cand: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
-        if cand.empty:
-            return pd.DataFrame(columns=out_cols)
-        cand = cand.drop(columns=["__shard"]).copy()
-        if shard_rows.empty:
-            cand["__maybe_seen"] = False
-            return cand
+    def probe(shard_rows: pd.DataFrame, keys) -> list:
         shard = int(shard_rows["shard"].iloc[0])
         acc: CuckooShards | None = None
         for blob, ov in zip(shard_rows["table"], shard_rows["overflow"]):
@@ -487,18 +465,14 @@ def split_by_cuckoo_routed(
                 [(shard, bytes(blob), list(ov))], n_shards, n_buckets
             )
             acc = cs if acc is None else acc.merge(cs)
-        cand["__maybe_seen"] = [acc.might_contain(u) for u in cand[key_col]]
-        return cand
+        return [acc.might_contain(u) for u in keys]
 
-    flagged = (
-        keyed.groupBy("__shard")
-        .cogroup(shards_df.select("shard", "table", "overflow").groupBy("shard"))
-        .applyInPandas(probe_group, schema=flag_schema)
-    )
-    if persist:
-        flagged = flagged.persist()
-    return (
-        flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
-        flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
-        flagged,
+    return split_by_routed(
+        batch,
+        shards_df.select("shard", "table", "overflow"),
+        key_col,
+        n_shards,
+        shard_of,
+        probe,
+        persist,
     )

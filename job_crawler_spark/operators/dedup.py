@@ -178,7 +178,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over a dup-pair graph —
     every node labeled with the MIN node id reachable from it (the
@@ -236,4 +236,12 @@ def connected_components(
         labels = new_labels.select("node", "cluster_id")
         if changed == 0:
             break
+    else:
+        # loud, never silently-wrong: an unconverged run would return SPLIT
+        # clusters (multiple representatives per true component)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+            " — a component's diameter exceeds max_iter; raise max_iter (or"
+            " switch to star-contraction for long-chain graphs)"
+        )
     return labels.select(F.col("node").alias(id_col), "cluster_id")

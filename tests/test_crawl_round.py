@@ -441,3 +441,94 @@ def test_mor_force_recrawl_updates_doc_latest_wins(spark, tmp_path):
     eng.compact_docs()
     assert eng.catalog.row_count(eng.T_DOCS) == n_before - 1
     assert eng.read_docs().filter(F.col("doc_id") == target).count() == 1
+
+
+def test_force_recrawl_rerun_completes_after_crash(spark, tmp_path):
+    """Review finding: a force_recrawl that crashes after the seen delete
+    but before frontier re-admission must complete on RE-RUN (the victims
+    are no longer in seen, but they're not pending either — the re-run
+    re-admits exactly them)."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "frcrash")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 150))
+    eng.run(2)
+    target = (
+        eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == 0).limit(1).collect()[0].url_canon
+    )
+    urls = spark.createDataFrame([(target,)], "url_canon string")
+
+    # crash: shard + seen deletes commit, frontier append fails
+    cat = eng.catalog
+    real_append = cat.append
+    def boom(df, name, part=None):
+        if name == eng.T_FRONTIER:
+            raise OSError("injected crash before re-admission")
+        return real_append(df, name, part=part)
+    cat.append = boom
+    with pytest.raises(OSError):
+        eng.force_recrawl(urls, priority=100.0)
+    cat.append = real_append
+
+    # re-run completes: victims gone from seen, so the unknown-url branch
+    # re-admits them and the repin publishes everything
+    res = eng.force_recrawl(urls, priority=100.0)
+    assert res["readmitted"] == 1
+    fv, sv, _ = eng._pinned_versions(eng.next_round())
+    pending = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_FRONTIER, version=fv).collect()
+    }
+    seen = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_SEEN, version=sv).collect()
+    }
+    assert target in pending and target not in seen
+    nxt = eng.next_round()
+    eng.run_round(nxt)
+    resched = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == nxt).collect()
+    }
+    assert target in resched
+
+
+def test_compact_folds_fully_superseded_round(spark, tmp_path):
+    """Review finding: a round partition whose EVERY doc was superseded
+    must still be rewritten (emptied) by compaction."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "fullsup")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        docs_mode="mor",
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 60))
+    eng.run_round(0)
+    # force-recrawl EVERY round-0 doc, then re-fetch them all
+    r0_urls = eng.catalog.read(spark, eng.T_SCHED).filter(
+        F.col("round") == 0
+    ).select(F.col("url_canon"))
+    eng.force_recrawl(r0_urls, priority=100.0)
+    eng.run_round(eng.next_round())
+
+    docs = eng.catalog.read(spark, eng.T_DOCS)
+    n_physical = docs.count()
+    n_visible = eng.read_docs().count()
+    assert n_physical > n_visible  # superseded copies exist
+    eng.compact_docs()
+    docs2 = eng.catalog.read(spark, eng.T_DOCS)
+    assert docs2.count() == n_visible  # ALL superseded copies folded
+    assert docs2.filter(F.col("round") == 0).count() <= n_visible
+    assert eng.read_docs().count() == n_visible

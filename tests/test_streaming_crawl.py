@@ -95,3 +95,65 @@ def test_ingest_seeds_idempotent_batch_level(spark, tmp_path):
         for r in eng.catalog.read(spark, eng.T_FRONTIER, version=fv).collect()
     }
     assert py_canonicalize(synth.raw_url_for(51)) in pending
+
+
+def test_ingest_crash_before_repin_heals_on_redelivery(spark, tmp_path):
+    """Review finding: an ingest that appends then crashes before its repin
+    must not lose the seeds — the redelivered batch (which admits nothing
+    new) repins the appended-but-unpinned frontier, and the next round
+    schedules from it."""
+    eng = _engine(spark, tmp_path)
+    eng.bootstrap(synth.seed_frontier(spark, 50))
+    eng.run(1)
+    batch = spark.createDataFrame(
+        [(synth.raw_url_for(i), 0, synth.priority_for(i), 0)
+         for i in range(50, 70)],
+        "url string, depth int, priority double, round int",
+    )
+    # crash: append lands, repin (checkpoint write) fails
+    real = eng._round_keyed_write
+    def boom(*a, **k):
+        raise OSError("injected crash before repin")
+    eng._round_keyed_write = boom
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        eng.ingest_seeds(batch)
+    eng._round_keyed_write = real
+
+    # redelivery: same batch, nothing new to admit, but the heal repins
+    assert eng.ingest_seeds(batch) == 0
+    fv, _, _ = eng._pinned_versions(eng.next_round())
+    pending = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_FRONTIER, version=fv).collect()
+    }
+    assert py_canonicalize(synth.raw_url_for(55)) in pending
+
+    # and a bare run_round (no ingest) also adopts pure-append progress
+    eng2 = _engine(spark, tmp_path)  # same warehouse, fresh engine
+    res = eng2.run_round(eng2.next_round())
+    assert res["scheduled"] > 0
+
+
+def test_ingest_before_first_round_single_checkpoint_row(spark, tmp_path):
+    """Review finding: ingesting before round 0 must repin the round -1
+    bootstrap marker IN PLACE (no duplicate rows), and round 0 must
+    schedule the ingested seeds."""
+    eng = _engine(spark, tmp_path)
+    eng.bootstrap(synth.seed_frontier(spark, 20))
+    batch = spark.createDataFrame(
+        [(synth.raw_url_for(i), 0, synth.priority_for(i), 0)
+         for i in range(20, 40)],
+        "url string, depth int, priority double, round int",
+    )
+    assert eng.ingest_seeds(batch) > 0
+    ck = eng.catalog.read(spark, eng.T_CKPT)
+    assert ck.filter(F.col("round") == -1).count() == 1  # replaced, not duped
+    res = eng.run_round(0)
+    sched = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == 0).collect()
+    }
+    assert py_canonicalize(synth.raw_url_for(25)) in sched
+    assert res["scheduled"] >= 20
