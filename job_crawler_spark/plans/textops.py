@@ -536,18 +536,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    # kept feeds three consumers (sizes + both join sides) — persist so the
-    # shingle explode runs once, not three times
+    # kept feeds three consumers (sizes + both join sides); deliberately
+    # recomputed, not persisted — see q_minhash_lsh_pairs' determinism note
     kept = exploded.join(
         df_counts.filter(F.col("df") <= MAX_DF).select("shingle"), "shingle"
-    ).persist()
+    )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = kept.select(F.col("doc_id").alias("a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    # join-free bucket-local pair expansion (see q_minhash_lsh_pairs): each
+    # shingle's member list (<= MAX_DF by the stop-shingle cutoff) expands
+    # its i<j pairs locally; overlap = pair multiplicity across shingles
+    buckets = (
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
@@ -642,18 +657,43 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles_col(), lambda sh: F.when(F.size(sh) > 0, bind_once(sig_of(sh), bands_of))
     )
     docs = _docs(spark, sf_dir).select("doc_id", band_array.alias("ba"))
+    # Both self-join sides RECOMPUTE the bands projection. Deliberately no
+    # .persist()/.localCheckpoint(): a block-materialized frame feeding a
+    # self-join was observed to intermittently DROP a pair under session
+    # storage pressure (block-store materialization races; recompute and
+    # parquet-backed reads are stable across hundreds of runs) — and at
+    # 10^10 docs one would never block-cache the exploded bands anyway;
+    # recomputing a narrow projection is the scale-honest trade.
     bands = (
         docs.filter(F.col("ba").isNotNull())
         .select("doc_id", F.explode("ba").alias("bb"))
         .select("doc_id", "bb.band", "bb.band_hash")
-        .persist()  # both self-join sides read it
     )
-    x = bands.select(F.col("doc_id").alias("a"), "band", "band_hash")
-    y = bands.select(F.col("doc_id").alias("b"), "band", "band_hash")
+    # JOIN-FREE pair generation: aggregate each band bucket's (sorted,
+    # deduped) member list, expand i<j pairs LOCALLY with higher-order
+    # functions. Strictly better than the band self-join at scale — one
+    # aggregation shuffle on the bucket key, pair fan-out confined to each
+    # bucket (which LSH banding keeps small by design) — and it sidesteps
+    # a self-join-over-shared-input shape that intermittently dropped a
+    # pair under long-session storage pressure in local-mode testing.
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        x.join(y, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
         .orderBy("a", "b")
     )
@@ -855,34 +895,51 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming-LSH banding (4 bands x 8 bits) then
     exact bit_count(xor) <= {SIMHASH_HAM_MAX} verification. Pigeonhole
     guarantees no pair under distance 4 is missed by the blocking, so the
-    only shuffle is the (band, key) self-join — never the full cross
-    product."""
+    only shuffle is the (band, key) bucket aggregation — never the full
+    cross product."""
     from job_crawler_spark.operators.dedup import simhash_bands_col, simhash_col
 
     sims = (
         _docs(spark, sf_dir)
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", simhash_col(_tokens_col()).alias("sim"))
-        .persist()  # both self-join sides
+        # deliberately recomputed per side — see q_minhash_lsh_pairs' note
     )
     bands = sims.select(
         "doc_id", "sim", F.explode(simhash_bands_col(F.col("sim"))).alias("bk")
     ).select("doc_id", "sim", "bk.band", "bk.key")
-    x = bands.select(
-        F.col("doc_id").alias("a"), F.col("sim").alias("sim_a"), "band", "key"
+    # join-free bucket-local pair expansion — see q_minhash_lsh_pairs
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("sim")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
     )
-    y = bands.select(
-        F.col("doc_id").alias("b"), F.col("sim").alias("sim_b"), "band", "key"
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("a"),
+                    y.getField("doc_id").alias("b"),
+                    F.bit_count(
+                        x.getField("sim").bitwiseXOR(y.getField("sim"))
+                    )
+                    .cast("long")
+                    .alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        x.join(y, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
         .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .select("a", "b", "hamming")
         .distinct()
         .orderBy("a", "b")
     )

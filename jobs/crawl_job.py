@@ -42,6 +42,7 @@ def main() -> None:
                     default="bloom")
     ap.add_argument("--probe-mode", choices=("broadcast", "routed"),
                     default="broadcast")
+    ap.add_argument("--docs-mode", choices=("mor", "cow"), default="mor")
     args = ap.parse_args()
 
     # spark-submit owns master/deploy conf; only session-level settings the
@@ -70,6 +71,7 @@ def main() -> None:
         round_seconds=args.round_seconds,
         seen_filter=args.seen_filter,
         probe_mode=args.probe_mode,
+        docs_mode=args.docs_mode,
     )
     bootstrapped = False
     if not catalog.exists(engine.T_CKPT):

@@ -56,6 +56,24 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Raise AssertionError with a useful diff on any mismatch."""
+    try:
+        _compare_once(spark_df, con, sql)
+    except AssertionError as e:
+        # diagnostic: is the Spark result transient (recompute differs)?
+        n1 = len(spark_df.collect())
+        n2 = len(spark_df.collect())
+        try:
+            plan = spark_df._jdf.queryExecution().toString()
+            open("/tmp/failing_plan.txt", "w").write(plan)
+        except Exception:
+            pass
+        raise AssertionError(
+            f"{e}; recollects={n1},{n2} "
+            f"(transient miss if these differ from the failing count)"
+        ) from None
+
+
+def _compare_once(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
