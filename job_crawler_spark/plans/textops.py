@@ -613,23 +613,43 @@ Q_NGRAM_JACCARD_PAIRS_SQL = f"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 seeds, lexicographic MD5 minima) + LSH banding (4x4):
-    candidate pairs sharing any band bucket. Shuffle key = (band, band_hash)
-    — at 10^10 docs this replaces the exact shingle self-join entirely."""
+    """MinHash (16 seeds) + LSH banding (4x4): candidate pairs sharing any
+    band bucket. Shuffle key = (band, band_hash) — at 10^10 docs this
+    replaces the exact shingle self-join entirely.
+
+    Hashing: ONE md5 per shingle, 16 seed hashes derived as
+    (h1 + i*h2) mod P (Kirsch & Mitzenmacher 2006, two hashes suffice) —
+    16x fewer digests than md5-per-seed on the 10^10-doc hot path, still
+    engine-portable (both sides parse the same md5 hex substrings)."""
     from job_crawler_spark.functions.compat import bind_once
 
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    P = 2147483647  # Mersenne prime; 16 * P fits comfortably in int64
+
+    def hash_pair(x: F.Column) -> F.Column:
+        h = F.md5(x)
+        return F.struct(
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % P).alias("h1"),
+            (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % P).alias("h2"),
+        )
+
+    def seed_min(hs: F.Column, i: int) -> F.Column:
+        # NB: single-parameter lambda — a second parameter (even a
+        # defaulted one, `lambda s, i=i:`) makes F.transform pass the
+        # ARRAY INDEX into it, silently clobbering the captured seed
+        return F.array_min(
+            F.transform(
+                hs,
+                lambda s: (s.getField("h1") + F.lit(i) * s.getField("h2")) % P,
+            )
+        )
 
     def sig_of(sh: F.Column) -> F.Column:
-        return F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        sh, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x))
-                    )
-                )
-                for s in range(MINHASH_SEEDS)
-            ]
+        return bind_once(
+            F.transform(sh, hash_pair),
+            lambda hs: F.array(
+                *[seed_min(hs, i) for i in range(MINHASH_SEEDS)]
+            ),
         )
 
     def bands_of(sig: F.Column) -> F.Column:
@@ -732,23 +752,32 @@ def _dup_clusters_sql() -> str:
 
 def _minhash_sql() -> str:
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    P = 2147483647
+    hs = (
+        "list_transform(sh, x -> {"
+        f"'h1': CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % {P}, "
+        f"'h2': CAST(('0x' || substring(md5(x), 16, 15)) AS BIGINT) % {P}"
+        "})"
+    )
     sig_items = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))"
-        for s in range(MINHASH_SEEDS)
+        f"list_min(list_transform(hs, s -> (s.h1 + {i} * s.h2) % {P}))"
+        for i in range(MINHASH_SEEDS)
     )
     band_structs = ", ".join(
         "{'band': %d, 'band_hash': md5(%s)}"
         % (
             band,
             " || '|' || ".join(
-                f"sig[{band * rows_per_band + r + 1}]" for r in range(rows_per_band)
+                f"CAST(sig[{band * rows_per_band + r + 1}] AS VARCHAR)"
+                for r in range(rows_per_band)
             ),
         )
         for band in range(LSH_BANDS)
     )
     return f"""
         WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
-        s AS (SELECT doc_id, [{sig_items}] AS sig FROM d WHERE len(sh) > 0),
+        h AS (SELECT doc_id, {hs} AS hs FROM d WHERE len(sh) > 0),
+        s AS (SELECT doc_id, [{sig_items}] AS sig FROM h),
         bands AS (
           SELECT doc_id, unnest([{band_structs}],  recursive := true)
           FROM s
