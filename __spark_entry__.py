@@ -70,15 +70,46 @@ def _plan_modules():
     ]
 
 
+# Enumerate first the queries that have never had (or are missing) an
+# external-gate row: the driver samples a subset of queries() per round, so
+# insertion order decides which entries get checked. Never-checked in any
+# round: the 4 rollup/exists/scalar-subquery TPC-H shapes; checked only in
+# r01 (no r02 row): the other tpch_* entries, part_brand_topk, the simhash
+# pair, and media_payload_stats (r01 fail -> fixed, needs a green row).
+_GATE_PRIORITY = [
+    "tpch_rollup_revenue",
+    "tpch_late_ship_exists",
+    "tpch_small_qty_revenue",
+    "tpch_min_price_supplier",
+    "media_payload_stats",
+    "skill_gaps",
+    "doc_simhash",
+    "simhash_dup_pairs",
+    "part_brand_topk",
+    "tpch_pricing_summary",
+    "tpch_top_revenue_orders",
+    "tpch_nation_revenue",
+    "tpch_revenue_delta",
+    "tpch_promo_revenue",
+    "tpch_big_orders",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    out = {k: merged[k] for k in _GATE_PRIORITY if k in merged}
+    out.update(merged)  # existing keys keep position; the rest append
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _plan_modules():
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _plan_modules():
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)

@@ -203,7 +203,13 @@ def _analysis_framework_sql() -> str:
 def q_skill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 + O5 (main.py:1446-1456): ordered set difference of required
     skills vs the user's, preserving required order, sliced into
-    immediate (first 2) and medium-term focus."""
+    immediate (first 2) and medium-term focus.
+
+    Driver-gate shape: exploded to one scalar row per (id, gap_rank, skill)
+    — the external gate's canonicalizer cannot hash array-typed columns
+    (r02's one ERR row), so the gated query emits scalars only; library
+    users who want the array form call ``skill_gap_cols`` directly.
+    """
     jobs = jobs_df(spark, sf_dir)
     vocab = F.array(*[F.lit(k) for k in TECH_KEYWORDS])
     desc = F.lower(F.col("description"))
@@ -212,13 +218,17 @@ def q_skill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_lc = F.array(*[F.lit(s) for s in USER_SKILLS])
     gaps = skill_gap_cols(required, user_lc)
     return (
-        jobs.select(
+        jobs.select("id", gaps["missing"].alias("missing"))
+        .select("id", F.posexplode("missing").alias("pos", "skill"))
+        .select(
             "id",
-            gaps["missing"].alias("missing"),
-            gaps["immediate_focus"].alias("immediate_focus"),
-            gaps["medium_term"].alias("medium_term"),
+            (F.col("pos") + 1).cast("long").alias("gap_rank"),
+            "skill",
+            F.when(F.col("pos") < 2, F.lit("immediate"))
+            .otherwise(F.lit("medium_term"))
+            .alias("bucket"),
         )
-        .orderBy("id")
+        .orderBy("id", "gap_rank")
     )
 
 
@@ -239,13 +249,17 @@ def _skill_gaps_sql() -> str:
                  list_filter(required,
                              s -> NOT list_contains({user}, lower(s))) AS missing
           FROM req
+        ),
+        e AS (
+          SELECT id,
+                 unnest(range(1, len(missing) + 1)) AS gap_rank,
+                 unnest(missing) AS skill
+          FROM g
         )
-        SELECT id, missing,
-               list_slice(missing, 1, 2) AS immediate_focus,
-               CASE WHEN len(missing) > 2
-                    THEN list_slice(missing, 3, len(missing))
-                    ELSE [] END AS medium_term
-        FROM g ORDER BY id
+        SELECT id, gap_rank, skill,
+               CASE WHEN gap_rank <= 2 THEN 'immediate'
+                    ELSE 'medium_term' END AS bucket
+        FROM e ORDER BY id, gap_rank
     """
 
 

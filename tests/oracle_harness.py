@@ -55,10 +55,19 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
-    """Raise AssertionError with a useful diff on any mismatch."""
+    """Raise AssertionError with a useful diff on any mismatch.
+
+    Set JCS_DEBUG_COMPARE=1 to add transient-result diagnostics (double
+    re-collect + plan dump) on failure — off by default so a mismatch
+    fails fast with the original traceback.
+    """
+    import os
+
     try:
         _compare_once(spark_df, con, sql)
     except AssertionError as e:
+        if not os.environ.get("JCS_DEBUG_COMPARE"):
+            raise
         # diagnostic: is the Spark result transient (recompute differs)?
         n1 = len(spark_df.collect())
         n2 = len(spark_df.collect())
@@ -70,7 +79,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         raise AssertionError(
             f"{e}; recollects={n1},{n2} "
             f"(transient miss if these differ from the failing count)"
-        ) from None
+        ) from e
 
 
 def _compare_once(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:

@@ -36,6 +36,22 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_outputs_are_driver_hashable(spark):
+    """The external gate's canonicalizer sorts a pandas frame of the result;
+    array/struct/map columns make that die with `unhashable type: 'list'`
+    (the one red r02 row). Every gated query must emit atomic columns only.
+    Schema-only check — no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar output columns (driver cannot hash): {bad}"
+
+
 def test_rows_only_queries_run(spark):
     """Entries without an oracle still must execute and return a DataFrame."""
     for name in sorted(set(QUERIES) - set(ORACLES)):
