@@ -196,14 +196,18 @@ def q_host_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics the scheduler's salting decisions come from:
     per-host frontier share (the previous-round counts in SURVEY.md §7.3)."""
     f = frontier_df(spark, sf_dir)
-    total = f.count()
     from job_crawler_spark.functions.compat import stable_round
 
+    # total as a 1-row scalar agg broadcast (retention_split pattern):
+    # one Spark job instead of count()-then-query
+    total = f.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
         f.select(host_col(F.col("url")).alias("host"))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_urls"))
-        .withColumn("share", stable_round(F.col("n_urls") / F.lit(float(total)), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", stable_round(F.col("n_urls") / F.col("_total"), 6))
+        .select("host", "n_urls", "share")
         .orderBy(F.col("n_urls").desc(), F.col("host").asc())
     )
 

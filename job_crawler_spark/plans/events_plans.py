@@ -175,14 +175,18 @@ Q_USER_SESSIONS_SQL = f"""
 def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 + A-ops: distinct users and share of total per event type."""
     ev = _events(spark, sf_dir)
-    total = ev.count()
+    # total as a 1-row scalar agg broadcast (retention_split pattern):
+    # one Spark job instead of count()-then-query
+    total = ev.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .withColumn("share", stable_round(F.col("n") / F.lit(float(total)), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", stable_round(F.col("n") / F.col("_total"), 6))
+        .select("event_type", "n", "n_users", "share")
         .orderBy("event_type")
     )
 

@@ -294,8 +294,13 @@ def _quantize_int8(a: F.Column) -> F.Column:
         a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = absmax / F.lit(127.0)
+    # all-zero vector: scale = 0 would give 0/0 = NaN -> NULL longs; an
+    # all-zero embedding quantizes to all-zero ints.
     return F.transform(
-        a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+        a,
+        lambda x: F.when(absmax == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+        ),
     )
 
 
@@ -347,9 +352,12 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q8_SQL = (
-    "list_transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) /"
+    "list_transform({a}, x -> CASE WHEN"
+    " list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE)))) = 0"
+    " THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor(CAST(x AS DOUBLE) /"
     " (list_max(list_transform({a}, y -> abs(CAST(y AS DOUBLE)))) / 127.0)"
-    " + 0.5) AS BIGINT))"
+    " + 0.5) AS BIGINT) END)"
 )
 
 

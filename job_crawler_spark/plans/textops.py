@@ -203,10 +203,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = _docs(spark, sf_dir).count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score",
-        stable_round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6),
+    # corpus size as a 1-row scalar agg broadcast — no driver round trip,
+    # no second scan job (the retention_split watermark pattern)
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs_total")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            stable_round(F.col("tf") * (F.col("n_docs_total") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()

@@ -287,3 +287,30 @@ def test_int8_quantization_bounds(spark):
         for x, qi in zip(r.embedding, r.q):
             assert -127 <= qi <= 127, (x, qi)
             assert abs(qi * scale - x) <= scale / 2 + 1e-12, (x, qi, scale)
+
+
+def test_int8_quantize_zero_vector(spark):
+    """An all-zero embedding must quantize to all-zero ints, not NULLs
+    (scale = max|x|/127 = 0 would otherwise yield 0/0 = NaN). Spark and
+    the DuckDB oracle expression must agree."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from job_crawler_spark.plans.similarity import _Q8_SQL, _quantize_int8
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0],), ([0.0, 1.0, -2.0],)], "embedding array<double>"
+    )
+    rows = {
+        tuple(r.embedding): r.q
+        for r in df.select(
+            "embedding", _quantize_int8(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert rows[(0.0, 0.0, 0.0)] == [0, 0, 0]
+    assert None not in rows[(0.0, 1.0, -2.0)]
+    con = duckdb.connect()
+    q8 = _Q8_SQL.format(a="v")
+    duck = con.execute(
+        f"SELECT {q8} FROM (SELECT [0.0, 0.0, 0.0]::DOUBLE[] AS v)"
+    ).fetchone()[0]
+    assert duck == [0, 0, 0]
