@@ -7,8 +7,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
      "crawl": {"urls_per_sec": ..., "urls": ...}}
 
 Query timings use the noop sink (full execution, no result materialization
-cost). The crawl number is the north-rule throughput: URLs fetched+parsed/sec
-through schedule -> fetch -> parse -> enrich on a synthetic frontier.
+cost). Every timed section is min-of-$SPARK_GRAFT_REPEATS (default 3) —
+this VM shows 1x-3.5x hypervisor CPU steal, and min-of-N is the stable
+estimator (all repeats are recorded alongside). The crawl number is the
+north-rule throughput: URLs fetched+parsed/sec through schedule -> fetch ->
+parse -> enrich on a synthetic frontier; engine_round_urls_per_sec runs the
+full resumable CrawlEngine round loop (commits included, round_bench.py).
 
 Two-parallelism scaling evidence (BASELINE.md criterion) is produced by
 scaling_bench.py, which shells out to this machinery at local[8] and
@@ -29,6 +33,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 1M URLs: large enough that per-URL cost dominates the ~2 s per-round fixed
 # latency (at 60k the fixed cost halves the reported throughput)
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "1000000"))
+# min-of-N everywhere: this box shows 1x-3.5x hypervisor CPU steal, so a
+# single timed sample is a lottery draw — the minimum over N repeats is the
+# only stable estimator of engine capability (BENCH/BASELINE.md methodology)
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+# engine round-loop section (commits included): smaller frontier than the
+# data-plane crawl section so the whole bench stays under the driver budget;
+# the per-round fixed latency makes this UNDERSTATE 1M-seed throughput
+ENGINE_SEEDS = int(os.environ.get("SPARK_GRAFT_ENGINE_SEEDS", "300000"))
+ENGINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_ENGINE_ROUNDS", "2"))
 
 HEADLINE = [
     "tpch_pricing_summary",
@@ -211,21 +224,34 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
     queries = entry.queries()
 
     timings: dict[str, float] = {}
+    all_seconds: dict[str, list[float]] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         _noop_run(df)  # warm: plan + scan caches
-        t0 = time.perf_counter()
-        _noop_run(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _noop_run(df)
+            reps.append(round(time.perf_counter() - t0, 3))
+        all_seconds[name] = reps
+        timings[name] = min(reps)
     for name in EXTRA:
         # iterative queries (dup_clusters) run work at construction time —
         # rebuild inside the timed section so the measurement includes it
         _noop_run(queries[name](spark, sf_dir))  # warm
-        t0 = time.perf_counter()
-        _noop_run(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _noop_run(queries[name](spark, sf_dir))
+            reps.append(round(time.perf_counter() - t0, 3))
+        all_seconds[name] = reps
+        timings[name] = min(reps)
 
-    crawl = crawl_throughput(spark, crawl_urls)
+    crawl = crawl_throughput(spark, crawl_urls, repeats=REPEATS)
+
+    from round_bench import engine_round_bench
+
+    engine = engine_round_bench(spark, ENGINE_SEEDS, ENGINE_ROUNDS)
     spark.stop()
 
     return {
@@ -233,10 +259,13 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
+        "query_all_seconds": all_seconds,
         "extra_total": round(sum(timings[n] for n in EXTRA), 3),
         "sf": sf_dir,
         "cpus": cpus,
         "crawl": crawl,
+        "engine_round_urls_per_sec": engine["value"],
+        "engine_rounds": engine,
     }
 
 

@@ -91,11 +91,15 @@ class CrawlEngine:
     # Correctness-neutral either way — the exact anti-join is authoritative.
     seen_filter: str = "bloom"
     # How candidate URLs consult the filter: "broadcast" ships the whole
-    # filter to every executor (shuffle-free; right while it fits — the
-    # sandbox default), "routed" shuffles candidates to their shard's
-    # reducer and probes only that shard (peak task memory = one shard,
-    # independent of filter size — the 10^10-key design point).
-    probe_mode: str = "broadcast"
+    # filter to every executor (shuffle-free; right while it fits),
+    # "routed" shuffles candidates to their shard's reducer and probes only
+    # that shard (peak task memory = one shard, independent of filter size
+    # — the 10^10-key design point). "auto" (default) picks by the merged
+    # filter's configured size: broadcast while it fits under
+    # broadcast_filter_max_bytes, routed beyond — so callers scaling the
+    # filter up never have to remember to flip the flag.
+    probe_mode: str = "auto"
+    broadcast_filter_max_bytes: int = 256 << 20
     bloom_shards: int = 64
     bloom_bits: int = 1 << 20
     bloom_k: int = 5
@@ -116,9 +120,9 @@ class CrawlEngine:
             raise ValueError(
                 f"seen_filter must be 'bloom' or 'cuckoo', got {self.seen_filter!r}"
             )
-        if self.probe_mode not in ("broadcast", "routed"):
+        if self.probe_mode not in ("auto", "broadcast", "routed"):
             raise ValueError(
-                f"probe_mode must be 'broadcast' or 'routed', got "
+                f"probe_mode must be 'auto', 'broadcast' or 'routed', got "
                 f"{self.probe_mode!r}"
             )
         if self.docs_mode not in ("cow", "mor"):
@@ -200,9 +204,25 @@ class CrawlEngine:
             keys, "url_canon", self.bloom_shards, self.cuckoo_buckets
         )
 
+    def _filter_bytes(self) -> int:
+        """Configured size of the MERGED filter (all shards) in bytes."""
+        if self.seen_filter == "bloom":
+            return self.bloom_shards * (self.bloom_bits // 8)
+        # cuckoo: buckets x 4 slots x 2-byte fingerprints per shard
+        return self.bloom_shards * self.cuckoo_buckets * 4 * 2
+
+    def _resolved_probe_mode(self) -> str:
+        if self.probe_mode != "auto":
+            return self.probe_mode
+        return (
+            "routed"
+            if self._filter_bytes() > self.broadcast_filter_max_bytes
+            else "broadcast"
+        )
+
     def _split_new_vs_seen(self, not_pending: DataFrame, shards_df: DataFrame):
         shards_df = shards_df.drop("round")
-        if self.probe_mode == "routed":
+        if self._resolved_probe_mode() == "routed":
             if self.seen_filter == "bloom":
                 return bloom.split_by_bloom_routed(
                     not_pending, shards_df,
@@ -295,6 +315,26 @@ class CrawlEngine:
         r = row[0]
         return int(r.frontier_v), int(r.seen_v), int(r.shards_v)
 
+    def _latest_ckpt_row(self, round_no: int) -> dict:
+        """The winning checkpoint row for a round (latest repin supersedes)."""
+        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        return (
+            ck.filter(F.col("round") == round_no)
+            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            .limit(1)
+            .collect()[0]
+            .asDict()
+        )
+
+    def _repin_checkpoint(self, round_no: int, updates: dict) -> None:
+        """Rewrite a round's checkpoint row with updated pins/counts.
+        Idempotent (overwrite_partition of a single row); used to make
+        adopted-but-unpinned progress durable before anything builds on it."""
+        row = self._latest_ckpt_row(round_no)
+        row.update(updates)
+        marker = self.spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
+        self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, round_no)
+
     # -- one round ----------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         import os as _os
@@ -325,6 +365,24 @@ class CrawlEngine:
         # ROUND and belong to its replay, never adopted here.
         latest_fv = cat.snapshot_id(self.T_FRONTIER)
         if latest_fv > fv and cat.is_pure_append(self.T_FRONTIER, fv, latest_fv):
+            # Persist the adoption BEFORE any round write: if this round
+            # later crashes after its frontier OVERWRITE but before its
+            # checkpoint, the replay sees is_pure_append=false and cannot
+            # re-adopt — an unpersisted adoption would make it recompute a
+            # SMALLER batch from the stale pin, rewriting sched/docs/shard
+            # partitions without the adopted seeds while their seen rows
+            # from the crashed attempt persist (URLs in seen with no doc,
+            # gone from the frontier). Repinning round-(N-1) first makes
+            # every replay read the same adopted snapshot.
+            self._repin_checkpoint(
+                round_no - 1,
+                {
+                    "frontier_v": int(latest_fv),
+                    "frontier_pending": int(
+                        cat.row_count(self.T_FRONTIER, version=latest_fv)
+                    ),
+                },
+            )
             fv = latest_fv
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
@@ -640,14 +698,7 @@ class CrawlEngine:
         ).select("url_canon", "host", "depth", "priority", "round")
 
         last = self.next_round() - 1
-        ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
-        ck_row = (
-            ck.filter(F.col("round") == last)
-            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
-            .limit(1)
-            .collect()[0]
-            .asDict()
-        )
+        ck_row = self._latest_ckpt_row(last)
 
         pinned_fv = int(ck_row["frontier_v"])
         latest_fv = cat.snapshot_id(self.T_FRONTIER)
@@ -678,16 +729,15 @@ class CrawlEngine:
             fresh.unpersist()
         if frontier_v != int(ck_row["frontier_v"]):
             # repin (also heals a predecessor that appended then crashed)
-            ck_row.update(
+            self._repin_checkpoint(
+                last,
                 {
                     "frontier_v": int(frontier_v),
                     "frontier_pending": int(
                         cat.row_count(self.T_FRONTIER, version=frontier_v)
                     ),
-                }
+                },
             )
-            marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
-            self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
         return int(n_new)
 
     # -- forced re-crawl (the capability motivating the cuckoo backend) --------
@@ -723,14 +773,7 @@ class CrawlEngine:
             )
         spark, cat = self.spark, self.catalog
         last = self.next_round() - 1
-        ck = cat.read(spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
-        ck_row = (
-            ck.filter(F.col("round") == last)
-            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
-            .limit(1)
-            .collect()[0]
-            .asDict()
-        )
+        ck_row = self._latest_ckpt_row(last)
         pinned_fv = int(ck_row["frontier_v"])
         latest_fv = cat.snapshot_id(self.T_FRONTIER)
         if latest_fv != pinned_fv and not cat.is_pure_append(
@@ -794,25 +837,36 @@ class CrawlEngine:
             cat.append(readmitted, self.T_FRONTIER)
         readmitted.unpersist()
         victims.unpersist()
-        if n_victims == 0 and n_readmit == 0:
-            return {"recrawl": 0, "round": last}
-
-        # 4. repin the latest checkpoint (same round, latest versions/counts)
         seen_v = cat.snapshot_id(self.T_SEEN)
         frontier_v = cat.snapshot_id(self.T_FRONTIER)
-        ck_row.update(
+        shards_v = cat.snapshot_id(self.T_SHARDS)
+        if n_victims == 0 and n_readmit == 0:
+            # Nothing to do — UNLESS a crashed predecessor left committed
+            # but unpinned state (e.g. crash between its frontier append
+            # and its repin: victims already gone from seen AND already
+            # pending, so both counts are 0 here). The repin below is
+            # idempotent, so complete the crashed call unconditionally
+            # whenever any latest snapshot differs from its pin.
+            if (
+                frontier_v == pinned_fv
+                and seen_v == int(ck_row["seen_v"])
+                and shards_v == int(ck_row["shards_v"])
+            ):
+                return {"recrawl": 0, "readmitted": 0, "round": last}
+
+        # 4. repin the latest checkpoint (same round, latest versions/counts)
+        self._repin_checkpoint(
+            last,
             {
                 "frontier_v": int(frontier_v),
                 "seen_v": int(seen_v),
-                "shards_v": int(cat.snapshot_id(self.T_SHARDS)),
+                "shards_v": int(shards_v),
                 "seen_total": int(cat.row_count(self.T_SEEN, version=seen_v)),
                 "frontier_pending": int(
                     cat.row_count(self.T_FRONTIER, version=frontier_v)
                 ),
-            }
+            },
         )
-        marker = spark.createDataFrame([ck_row], schema=CHECKPOINT_SCHEMA)
-        self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, last)
         return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
                 "round": last}
 

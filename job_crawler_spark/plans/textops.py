@@ -685,13 +685,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles_col(), lambda sh: F.when(F.size(sh) > 0, bind_once(sig_of(sh), bands_of))
     )
     docs = _docs(spark, sf_dir).select("doc_id", band_array.alias("ba"))
-    # Both self-join sides RECOMPUTE the bands projection. Deliberately no
-    # .persist()/.localCheckpoint(): a block-materialized frame feeding a
-    # self-join was observed to intermittently DROP a pair under session
-    # storage pressure (block-store materialization races; recompute and
-    # parquet-backed reads are stable across hundreds of runs) — and at
-    # 10^10 docs one would never block-cache the exploded bands anyway;
-    # recomputing a narrow projection is the scale-honest trade.
+    # Deliberately no .persist(): the bands feed exactly ONE aggregation
+    # below, and at 10^10 docs one would never block-cache the exploded
+    # bands anyway — recomputing a narrow projection is the scale-honest
+    # trade.
     bands = (
         docs.filter(F.col("ba").isNotNull())
         .select("doc_id", F.explode("ba").alias("bb"))

@@ -532,3 +532,113 @@ def test_compact_folds_fully_superseded_round(spark, tmp_path):
     assert docs2.count() == n_visible  # ALL superseded copies folded
     assert docs2.filter(F.col("round") == 0).count() <= n_visible
     assert eng.read_docs().count() == n_visible
+
+
+def test_force_recrawl_rerun_repins_after_late_crash(spark, tmp_path):
+    """Review finding (r03): a force_recrawl crashing between its frontier
+    append (step 3) and its repin (step 4) used to hit the
+    n_victims==0 / n_readmit==0 early return on re-run (victims already
+    deleted from seen AND already pending) and never repin — leaving the
+    overwrites/append unpinned. The re-run must repin whenever any latest
+    snapshot differs from its checkpoint pin."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "frlate")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 150))
+    eng.run(2)
+    target = (
+        eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == 0).limit(1).collect()[0].url_canon
+    )
+    urls = spark.createDataFrame([(target,)], "url_canon string")
+
+    # crash AFTER step 3 (frontier append), BEFORE step 4 (repin)
+    real = eng._repin_checkpoint
+    def boom(*a, **k):
+        raise OSError("injected crash before repin")
+    eng._repin_checkpoint = boom
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        eng.force_recrawl(urls, priority=100.0)
+    eng._repin_checkpoint = real
+
+    # re-run: both counts are now 0, but snapshots differ from the pins —
+    # it must fall through to the repin, not early-return
+    res = eng.force_recrawl(urls, priority=100.0)
+    assert res == {"recrawl": 0, "readmitted": 0, "round": res["round"]}
+    fv, sv, shv = eng._pinned_versions(eng.next_round())
+    assert fv == eng.catalog.snapshot_id(eng.T_FRONTIER)
+    assert sv == eng.catalog.snapshot_id(eng.T_SEEN)
+    assert shv == eng.catalog.snapshot_id(eng.T_SHARDS)
+
+    # and the next round schedules the readmitted URL from the pinned state
+    nxt = eng.next_round()
+    eng.run_round(nxt)
+    resched = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_SCHED)
+        .filter(F.col("round") == nxt).collect()
+    }
+    assert target in resched
+
+
+def test_probe_mode_auto_selects_by_filter_size(spark, tmp_path):
+    """probe_mode='auto' (the default) resolves to broadcast while the
+    configured merged filter fits under broadcast_filter_max_bytes and to
+    routed beyond it — and the routed auto path produces the same crawl
+    state as explicit broadcast."""
+    # threshold logic, no data needed: sandbox default sizes broadcast...
+    small = _engine(spark, tmp_path, "auto_small")
+    assert small.probe_mode == "auto"
+    assert small._resolved_probe_mode() == "broadcast"
+    # ...a 10^10-key-shaped config (1024 shards x 512 MiB bloom) routes
+    big = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "auto_big")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        bloom_shards=1024,
+        bloom_bits=1 << 32,
+        bloom_k=5,
+    )
+    assert big._resolved_probe_mode() == "routed"
+    # explicit override still wins
+    forced = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "auto_forced")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        probe_mode="broadcast",
+        bloom_shards=1024,
+        bloom_bits=1 << 32,
+        bloom_k=5,
+    )
+    assert forced._resolved_probe_mode() == "broadcast"
+
+    # end-to-end: an auto engine pushed over the threshold (tiny max_bytes)
+    # routes and converges to the same state as explicit broadcast
+    auto_routed = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "auto_routed")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        broadcast_filter_max_bytes=1024,
+        bloom_shards=8,
+        bloom_bits=1 << 16,
+        bloom_k=5,
+    )
+    assert auto_routed._resolved_probe_mode() == "routed"
+    auto_routed.bootstrap(synth.seed_frontier(spark, 200))
+    auto_routed.run(2)
+    want = oracle.crawl(200, synth.robots_rows(), 2, round_seconds=ROUND_SECONDS)
+    got_seen = {
+        r.url_canon
+        for r in auto_routed.catalog.read(spark, auto_routed.T_SEEN).collect()
+    }
+    assert got_seen == set(want["seen"])

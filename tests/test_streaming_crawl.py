@@ -157,3 +157,83 @@ def test_ingest_before_first_round_single_checkpoint_row(spark, tmp_path):
     }
     assert py_canonicalize(synth.raw_url_for(25)) in sched
     assert res["scheduled"] >= 20
+
+
+def test_adoption_survives_double_crash(spark, tmp_path):
+    """Review finding (r03): run_round used to adopt appended-but-unpinned
+    frontier progress (a crashed ingest) WITHOUT persisting the adoption.
+    If the adopting round then crashed after its frontier OVERWRITE but
+    before its checkpoint, the replay saw a non-append diff from the stale
+    pin, could not re-adopt, and recomputed a smaller batch — the adopted
+    seeds ended up in seen with no document and gone from the frontier.
+    The adoption must be repinned BEFORE any round write so every replay
+    reads the same adopted snapshot."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.bootstrap(synth.seed_frontier(spark, 60))
+    eng.run(1)
+
+    batch = spark.createDataFrame(
+        [(synth.raw_url_for(i), 0, synth.priority_for(i), 0)
+         for i in range(60, 80)],
+        "url string, depth int, priority double, round int",
+    )
+    # crash 1: ingest appends, dies before its repin
+    real_repin = eng._repin_checkpoint
+    def boom_repin(*a, **k):
+        raise OSError("injected crash before ingest repin")
+    eng._repin_checkpoint = boom_repin
+    with pytest.raises(OSError):
+        eng.ingest_seeds(batch)
+    eng._repin_checkpoint = real_repin
+
+    # crash 2: the adopting round dies AFTER its frontier overwrite
+    # (lineage write is the first post-overwrite commit step)
+    nxt = eng.next_round()
+    cat = eng.catalog
+    real_op = cat.overwrite_partition
+    def boom_log(df, name, part):
+        if name == eng.T_LOG:
+            raise OSError("injected crash after frontier overwrite")
+        return real_op(df, name, part)
+    cat.overwrite_partition = boom_log
+    with pytest.raises(OSError):
+        eng.run_round(nxt)
+    cat.overwrite_partition = real_op
+
+    # the adoption was persisted before the crash: round-(N-1)'s pin is
+    # the adopted (post-append) frontier version
+    fv, _, _ = eng._pinned_versions(nxt)
+    pinned_pending = {
+        r.url_canon
+        for r in eng.catalog.read(spark, eng.T_FRONTIER, version=fv).collect()
+    }
+    adopted = py_canonicalize(synth.raw_url_for(65))
+    assert adopted in pinned_pending
+
+    # replay converges: fresh engine, same warehouse
+    resumed = _engine(spark, tmp_path)
+    res = resumed.run_round(resumed.next_round())
+    assert res["round"] == nxt
+    sched = {
+        r.url_canon
+        for r in resumed.catalog.read(spark, resumed.T_SCHED)
+        .filter(F.col("round") == nxt).collect()
+    }
+    assert adopted in sched, "adopted seed must be in the replayed batch"
+    seen = {
+        r.url_canon
+        for r in resumed.catalog.read(spark, resumed.T_SEEN).collect()
+    }
+    docs = {
+        r.doc_id for r in resumed.read_docs().select("doc_id").collect()
+    }
+    from job_crawler_spark.crawl.fetcher import fetch_failure
+
+    assert adopted in seen
+    # nothing lost in the window: the adopted URL has a document unless its
+    # (deterministic) fetch failed
+    assert (adopted in docs) == (not fetch_failure(adopted))
+    # invariant: every documented URL is in seen
+    assert docs <= seen
