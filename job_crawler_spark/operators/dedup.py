@@ -174,11 +174,110 @@ def exact_text_dedup(
     )
 
 
+def _star_mins(sym: DataFrame) -> DataFrame:
+    """Per-node min over its (directed) neighborhood INCLUDING itself."""
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Kiveris large-star: connect every strictly-larger neighbor of u to
+    min(N(u) ∪ {u}). Input must be the symmetrized edge list."""
+    m = _star_mins(sym)
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Kiveris small-star: connect u and its ≤-neighbors to the min of that
+    set. Input must be the symmetrized edge list."""
+    small = sym.filter(F.col("b") <= F.col("a"))
+    m = (
+        small.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+    )
+    moved = small.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfe = m.select("a", F.col("m").alias("b"))
+    return moved.union(selfe)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    public paper, implemented fresh): converges in O(log^2 n) rounds (in
+    practice ~log n) REGARDLESS of component diameter, which makes it the
+    long-chain fallback to min-label propagation's O(diameter).
+
+    Each round canonicalizes the edge set to undirected-distinct, applies
+    large-star then small-star, and stops when the edge set is unchanged
+    (fixed point = every node directly attached to its component's min).
+    localCheckpoint per round truncates the iterative lineage.
+    Output: (id_col, cluster_id) — same contract as connected_components.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected-distinct, self-loops dropped
+        return (
+            e.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least(F.col("a"), F.col("b")).alias("a"),
+                F.greatest(F.col("a"), F.col("b")).alias("b"),
+            )
+            .distinct()
+        )
+
+    def sym_of(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    cur = canon(edges.selectExpr("a", "b")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        ls = canon(_large_star(sym_of(cur)))
+        nxt = canon(_small_star(sym_of(ls))).localCheckpoint(eager=True)
+        # fixed point: identical undirected edge sets (exact, not a hash)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — not expected for any graph of < 2^max_iter nodes"
+        )
+    # at the fixed point every edge attaches a node to its component min;
+    # isolated nodes label themselves
+    centers = sym_of(cur).groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(centers.select(F.col("a").alias("node"), "mn"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(F.col("node"), F.coalesce("mn", "node")).alias("cluster_id"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    fallback: str = "star",
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over a dup-pair graph —
     every node labeled with the MIN node id reachable from it (the
@@ -188,17 +287,20 @@ def connected_components(
     (both directions) and takes the per-node min; stops when no label
     changed. Converges in O(component diameter) steps — near-dup clusters
     are shallow (diameter a few hops), so this beats the O(log n)
-    large-star/small-star alternation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014) in practice while
-    staying 3 lines of joins; swap in star-contraction if components with
-    long chains ever appear. Each iteration persists + localCheckpoints the
-    label frame: iterative self-joins otherwise stack lineage until planning
-    itself dominates (the classic iterative-Spark trap).
+    large-star/small-star alternation (Kiveris et al., SoCC 2014) in
+    practice while staying 3 lines of joins. If a long-chain component
+    exhausts max_iter, the call FALLS BACK to connected_components_star
+    (diameter-independent) instead of raising; pass fallback="raise" to
+    keep the strict behavior. Each iteration persists + localCheckpoints
+    the label frame: iterative self-joins otherwise stack lineage until
+    planning itself dominates (the classic iterative-Spark trap).
 
     ``edges``: columns (a, b) — undirected pair per row. ``nodes``: one row
     per ``id_col`` (components of isolated nodes are themselves).
     Output: (id_col, cluster_id).
     """
+    if fallback not in ("star", "raise"):
+        raise ValueError(f"fallback must be 'star' or 'raise', got {fallback!r}")
     # materialize the (symmetrized) edge list ONCE: it is joined every
     # iteration, and without this the whole upstream pair-generation plan
     # (e.g. the MinHash-LSH pipeline) would re-execute per iteration
@@ -237,11 +339,16 @@ def connected_components(
         if changed == 0:
             break
     else:
+        labels.unpersist()
+        if fallback == "star":
+            # a component's diameter exceeds max_iter: switch to the
+            # diameter-independent star contraction rather than failing
+            return connected_components_star(edges, nodes, id_col=id_col)
         # loud, never silently-wrong: an unconverged run would return SPLIT
         # clusters (multiple representatives per true component)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
-            " — a component's diameter exceeds max_iter; raise max_iter (or"
-            " switch to star-contraction for long-chain graphs)"
+            " — a component's diameter exceeds max_iter; raise max_iter or"
+            " use fallback='star'"
         )
     return labels.select(F.col("node").alias(id_col), "cluster_id")

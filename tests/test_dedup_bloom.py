@@ -185,3 +185,76 @@ def test_connected_components_chain_star_singleton(spark):
         "d6": "d6",
         "d7": "d7", "d8": "d7", "d9": "d7",
     }
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """connected_components_star (Kiveris large-star/small-star) produces
+    the same labels as min-label propagation on chains/stars/singletons."""
+    import random
+
+    from job_crawler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges_rows = [("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+                  ("d7", "d8"), ("d7", "d9")]
+    edges = spark.createDataFrame(edges_rows, "a string, b string")
+    nodes = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 10)], "doc_id string"
+    )
+    want = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    assert got == want
+
+    # deterministic random graph: star == label propagation
+    rng = random.Random(7)
+    redges = [
+        (f"n{rng.randrange(40):02d}", f"n{rng.randrange(40):02d}")
+        for _ in range(50)
+    ]
+    redges = [(a, b) for a, b in redges if a != b]
+    redges_df = spark.createDataFrame(redges, "a string, b string")
+    rnodes_df = spark.createDataFrame(
+        [(f"n{i:02d}",) for i in range(40)], "doc_id string"
+    )
+    want_r = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(redges_df, rnodes_df).collect()
+    }
+    got_r = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(redges_df, rnodes_df).collect()
+    }
+    assert got_r == want_r
+
+
+def test_long_chain_falls_back_to_star(spark):
+    """A 500-node chain (diameter >> max_iter) must CONVERGE via the
+    star-contraction fallback — the r02 raise is now a retry path — and
+    label every node with the chain's min. fallback='raise' preserves the
+    strict behavior."""
+    import pytest
+
+    from job_crawler_spark.operators.dedup import connected_components
+
+    n = 500
+    edges = spark.createDataFrame(
+        [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n - 1)],
+        "a string, b string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"c{i:04d}",) for i in range(n)], "doc_id string"
+    )
+    labels = connected_components(edges, nodes, max_iter=8).collect()
+    assert len(labels) == n
+    assert {r.cluster_id for r in labels} == {"c0000"}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=8, fallback="raise")
