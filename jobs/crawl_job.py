@@ -20,8 +20,8 @@ per-round stats.
 Cluster notes baked into the engine, not this script: AQE + skew-join
 splitting, Arrow batching for every pandas-UDF stage, shuffle partitions
 sized ~2-3x total cores (set via --conf at submit), broadcast-or-routed
-seen-filter probes (--probe-mode routed once the filter outgrows a
-broadcast), salted politeness windows for hot-domain skew.
+seen-filter probes (auto-selected from configured filter size;
+--probe-mode forces either), salted politeness windows for hot-domain skew.
 """
 
 from __future__ import annotations
@@ -40,8 +40,8 @@ def main() -> None:
     ap.add_argument("--round-seconds", type=int, default=3000)
     ap.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
                     default="bloom")
-    ap.add_argument("--probe-mode", choices=("broadcast", "routed"),
-                    default="broadcast")
+    ap.add_argument("--probe-mode", choices=("auto", "broadcast", "routed"),
+                    default="auto")
     ap.add_argument("--docs-mode", choices=("mor", "cow"), default="mor")
     args = ap.parse_args()
 

@@ -128,3 +128,12 @@ def test_event_props_extract_stays_jvm(spark, queries):
     plan = explain_str(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_scalar_total_queries_broadcast_not_collect(spark, queries):
+    """The three queries that used to compute their denominator with a
+    driver-side count() now do it as a 1-row scalar aggregate broadcast
+    (BroadcastNestedLoopJoin) inside ONE plan — no second Spark job."""
+    for name in ("event_type_share", "host_skew_profile", "tfidf_top_terms"):
+        plan = explain_str(queries[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan, (name, plan)
