@@ -37,11 +37,15 @@ CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "1000000"))
 # single timed sample is a lottery draw — the minimum over N repeats is the
 # only stable estimator of engine capability (BENCH/BASELINE.md methodology)
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-# engine round-loop section (commits included): smaller frontier than the
-# data-plane crawl section so the whole bench stays under the driver budget;
-# the per-round fixed latency makes this UNDERSTATE 1M-seed throughput
-ENGINE_SEEDS = int(os.environ.get("SPARK_GRAFT_ENGINE_SEEDS", "300000"))
+# engine round-loop section (commits included). Large rounds (1M seeds,
+# 30000-s politeness budget) so the ~12 s fixed per-round Spark latency
+# amortizes the way it does at the 10^7-URL design point — small rounds
+# would measure job-scheduling latency, not the engine (BENCH/ROUNDS.md).
+ENGINE_SEEDS = int(os.environ.get("SPARK_GRAFT_ENGINE_SEEDS", "1000000"))
 ENGINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_ENGINE_ROUNDS", "2"))
+ENGINE_ROUND_SECONDS = int(
+    os.environ.get("SPARK_GRAFT_ENGINE_ROUND_SECONDS", "30000")
+)
 
 HEADLINE = [
     "tpch_pricing_summary",
@@ -251,7 +255,9 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
 
     from round_bench import engine_round_bench
 
-    engine = engine_round_bench(spark, ENGINE_SEEDS, ENGINE_ROUNDS)
+    engine = engine_round_bench(
+        spark, ENGINE_SEEDS, ENGINE_ROUNDS, ENGINE_ROUND_SECONDS
+    )
     spark.stop()
 
     return {
