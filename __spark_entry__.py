@@ -77,6 +77,7 @@ def _plan_modules():
 # r01 (no r02 row): the other tpch_* entries, part_brand_topk, the simhash
 # pair, and media_payload_stats (r01 fail -> fixed, needs a green row).
 _GATE_PRIORITY = [
+    "app_validation",
     "tpch_rollup_revenue",
     "tpch_late_ship_exists",
     "tpch_small_qty_revenue",

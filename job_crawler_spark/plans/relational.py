@@ -492,7 +492,82 @@ Q_TABLE_HEALTH_SQL = f"""
 """
 
 
+def q_app_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 required-param guard (main.py:755-756: ``if not all([job_url,
+    company_name, position, application_date])`` -> error dict), Spark-first
+    as a ROW-LEVEL admission classifier: a deterministic raw-submissions
+    frame (fields knocked out by orderkey residues — NULLs and empty
+    strings, both falsy to Python's all()) is split into accepted rows vs
+    the reference's exact error message, then counted per outcome."""
+    orders = _read(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("https://board.example.com/jobs/"), F.col("o_orderkey")
+            )
+        )
+        .alias("job_url"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Company#"), F.col("o_custkey")))
+        .alias("company_name"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Engineer L"), F.col("o_orderkey") % 5))
+        .alias("position"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("application_date"),
+    )
+
+    def present(c: F.Column) -> F.Column:
+        # Python truthiness of the reference guard: None AND '' both fail
+        return c.isNotNull() & (c != "")
+
+    ok = (
+        present(F.col("job_url"))
+        & present(F.col("company_name"))
+        & present(F.col("position"))
+        & present(F.col("application_date"))
+    )
+    return (
+        sub.select(
+            F.when(ok, F.lit("accepted"))
+            .otherwise(F.lit("error: All required parameters must be provided"))
+            .alias("outcome")
+        )
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("outcome")
+    )
+
+
+_APP_VALIDATION_SQL = """
+    WITH sub AS (
+      SELECT
+        CASE WHEN o_orderkey % 11 = 0 THEN NULL
+             ELSE 'https://board.example.com/jobs/'
+                  || CAST(o_orderkey AS VARCHAR) END AS job_url,
+        CASE WHEN o_orderkey % 13 = 0 THEN ''
+             ELSE 'Company#' || CAST(o_custkey AS VARCHAR) END AS company_name,
+        CASE WHEN o_orderkey % 17 = 0 THEN NULL
+             ELSE 'Engineer L' || CAST(o_orderkey % 5 AS VARCHAR) END AS position,
+        CASE WHEN o_orderkey % 19 = 0 THEN NULL
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS application_date
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT CASE WHEN job_url IS NOT NULL AND job_url <> ''
+                 AND company_name IS NOT NULL AND company_name <> ''
+                 AND position IS NOT NULL AND position <> ''
+                 AND application_date IS NOT NULL AND application_date <> ''
+            THEN 'accepted'
+            ELSE 'error: All required parameters must be provided' END AS outcome,
+           COUNT(*) AS n
+    FROM sub GROUP BY outcome ORDER BY outcome
+"""
+
+
 QUERIES = {
+    "app_validation": q_app_validation,
     "app_status_counts": q_app_status_counts,
     "app_summary_join": q_app_summary_join,
     "top_queries": q_top_queries,
@@ -507,6 +582,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "app_validation": _APP_VALIDATION_SQL,
     "app_status_counts": f"WITH a AS ({APPLICATIONS_SQL}) "
     "SELECT status, COUNT(*) AS n FROM a GROUP BY status ORDER BY status",
     "app_summary_join": Q_APP_SUMMARY_JOIN_SQL,
