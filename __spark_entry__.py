@@ -78,6 +78,7 @@ def _plan_modules():
 # pair, and media_payload_stats (r01 fail -> fixed, needs a green row).
 _GATE_PRIORITY = [
     "app_validation",
+    "star_cluster_labels",
     "tpch_rollup_revenue",
     "tpch_late_ship_exists",
     "tpch_small_qty_revenue",

@@ -755,6 +755,35 @@ def _dup_clusters_sql() -> str:
     """
 
 
+def q_star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-chain connected components via STAR CONTRACTION (Kiveris
+    large-star/small-star), driver-gated: chain edges link consecutive
+    doc_ids within each lang partition, so each component is a path of
+    ~n_docs/n_langs hops — a diameter far beyond what min-label
+    propagation's iteration budget covers, exercising the O(log n)
+    fallback end-to-end. Cluster = min doc_id per lang, which the oracle
+    states directly as a window min."""
+    from pyspark.sql import Window
+
+    from job_crawler_spark.operators.dedup import connected_components_star
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        docs.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    nodes = docs.select("doc_id")
+    return connected_components_star(edges, nodes).orderBy("doc_id")
+
+
+Q_STAR_CLUSTER_LABELS_SQL = """
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang) AS cluster_id
+    FROM documents ORDER BY doc_id
+"""
+
+
 def _minhash_sql() -> str:
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     P = 2147483647
@@ -1074,6 +1103,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
+    "star_cluster_labels": q_star_cluster_labels,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
@@ -1095,6 +1125,7 @@ ORACLES = {
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
+    "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
