@@ -245,10 +245,17 @@ def connected_components_star(
     for _ in range(max_iter):
         ls = canon(_large_star(sym_of(cur)))
         nxt = canon(_small_star(sym_of(ls))).localCheckpoint(eager=True)
-        # fixed point: identical undirected edge sets (exact, not a hash)
+        # fixed point: identical undirected edge sets. Both sides are
+        # distinct, so equality <=> every edge of the union appears exactly
+        # twice — ONE aggregation shuffle + one action, exact (no hashing),
+        # vs two anti-join shuffles for a two-sided exceptAll.
         changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
+            nxt.union(cur)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .limit(1)
+            .count()
         )
         cur.unpersist()
         cur = nxt
