@@ -326,11 +326,15 @@ class CrawlEngine:
             .asDict()
         )
 
-    def _repin_checkpoint(self, round_no: int, updates: dict) -> None:
+    def _repin_checkpoint(
+        self, round_no: int, updates: dict, row: dict | None = None
+    ) -> None:
         """Rewrite a round's checkpoint row with updated pins/counts.
         Idempotent (overwrite_partition of a single row); used to make
-        adopted-but-unpinned progress durable before anything builds on it."""
-        row = self._latest_ckpt_row(round_no)
+        adopted-but-unpinned progress durable before anything builds on it.
+        Pass ``row`` when the caller already fetched the checkpoint row —
+        avoids a redundant read+collect job on the commit path."""
+        row = dict(row) if row is not None else self._latest_ckpt_row(round_no)
         row.update(updates)
         marker = self.spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
         self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, round_no)
@@ -737,6 +741,7 @@ class CrawlEngine:
                         cat.row_count(self.T_FRONTIER, version=frontier_v)
                     ),
                 },
+                row=ck_row,
             )
         return int(n_new)
 
@@ -866,6 +871,7 @@ class CrawlEngine:
                     cat.row_count(self.T_FRONTIER, version=frontier_v)
                 ),
             },
+            row=ck_row,
         )
         return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
                 "round": last}

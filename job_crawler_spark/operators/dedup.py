@@ -174,21 +174,18 @@ def exact_text_dedup(
     )
 
 
-def _star_mins(sym: DataFrame) -> DataFrame:
-    """Per-node min over its (directed) neighborhood INCLUDING itself."""
-    return (
-        sym.groupBy("a")
-        .agg(F.min("b").alias("mn"))
-        .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
-    )
-
-
 def _large_star(sym: DataFrame) -> DataFrame:
     """Kiveris large-star: connect every strictly-larger neighbor of u to
-    min(N(u) ∪ {u}). Input must be the symmetrized edge list."""
-    m = _star_mins(sym)
+    min(N(u) ∪ {u}). Input must be the symmetrized edge list.
+
+    JOIN-FREE: the per-neighborhood min is a window over the same shuffle
+    key, not a groupBy + self-join — this repo's policy after the sticky
+    local-mode dropped-row flake with self-joins over shared computed
+    frames (see q_minhash_lsh_pairs; memory: spark-selfjoin-flake)."""
+    w = Window.partitionBy("a")
+    m = F.least(F.col("a"), F.min("b").over(w))
     return (
-        sym.join(m, "a")
+        sym.withColumn("m", m)
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
@@ -196,15 +193,16 @@ def _large_star(sym: DataFrame) -> DataFrame:
 
 def _small_star(sym: DataFrame) -> DataFrame:
     """Kiveris small-star: connect u and its ≤-neighbors to the min of that
-    set. Input must be the symmetrized edge list."""
+    set. Input must be the symmetrized edge list. Join-free (window min,
+    same rationale as _large_star); the (u, m) self-attachment rides along
+    with duplicates — the caller's canon() dedups."""
     small = sym.filter(F.col("b") <= F.col("a"))
-    m = (
-        small.groupBy("a")
-        .agg(F.min("b").alias("mn"))
-        .select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+    w = Window.partitionBy("a")
+    withm = small.withColumn(
+        "m", F.least(F.col("a"), F.min("b").over(w))
     )
-    moved = small.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
-    selfe = m.select("a", F.col("m").alias("b"))
+    moved = withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfe = withm.select("a", F.col("m").alias("b"))
     return moved.union(selfe)
 
 
@@ -349,8 +347,11 @@ def connected_components(
         labels.unpersist()
         if fallback == "star":
             # a component's diameter exceeds max_iter: switch to the
-            # diameter-independent star contraction rather than failing
-            return connected_components_star(edges, nodes, id_col=id_col)
+            # diameter-independent star contraction rather than failing.
+            # Reuse the already-materialized symmetrized edge list — passing
+            # the raw `edges` would re-execute the whole upstream
+            # pair-generation pipeline (canon() dedups the symmetry away).
+            return connected_components_star(sym, nodes, id_col=id_col)
         # loud, never silently-wrong: an unconverged run would return SPLIT
         # clusters (multiple representatives per true component)
         raise RuntimeError(

@@ -97,8 +97,11 @@ def cpu_calibration(cores: int) -> dict:
             )
             for _ in range(cores)
         ]
-        for p in procs:
-            p.wait()
+        rcs = [p.wait() for p in procs]
+        if any(rc != 0 for rc in rcs):
+            # a dead spinner means LESS work was done in the measured wall
+            # time — min-of-N would then select the corrupted (fast) sample
+            raise RuntimeError(f"calibration spinner failed: exit codes {rcs}")
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {
@@ -168,7 +171,7 @@ def main() -> dict:
             )
             + f"\n**Efficiency = ({fp_4n} / {fp_n}) / 4 = {fp_eff}** "
             f"(target >= 0.8: "
-            f"{'PASS' if fp_eff >= 0.8 else 'see calibration below'})\n\n"
+            f"{'PASS' if fp_eff >= 0.8 else 'FAIL raw — calibration below shows whether the box or the engine stopped scaling'})\n\n"
             "## Same-window hardware calibration\n\n"
             "Pure-CPU spin processes (no Spark, no Python workers — a fixed\n"
             "md5 chain each) pinned to the SAME core sets, run immediately\n"

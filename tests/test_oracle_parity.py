@@ -40,7 +40,8 @@ def test_outputs_are_driver_hashable(spark):
     """The external gate's canonicalizer sorts a pandas frame of the result;
     array/struct/map columns make that die with `unhashable type: 'list'`
     (the one red r02 row). Every gated query must emit atomic columns only.
-    Schema-only check — no execution."""
+    No result materialization — though the two iterative CC queries do run
+    their convergence loops at DataFrame-construction time."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []
