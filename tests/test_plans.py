@@ -137,3 +137,18 @@ def test_scalar_total_queries_broadcast_not_collect(spark, queries):
     for name in ("event_type_share", "host_skew_profile", "tfidf_top_terms"):
         plan = explain_str(queries[name](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" in plan, (name, plan)
+
+
+def test_star_contraction_phases_are_join_free(spark):
+    """The large-star/small-star per-neighborhood min must stay a WINDOW
+    over the partition key, never a groupBy + self-join — the self-join-
+    over-shared-frame shape stickily dropped rows in long local sessions
+    (the q_minhash_lsh_pairs rewrite rationale, applied to star CC)."""
+    from job_crawler_spark.operators.dedup import _large_star, _small_star
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "a long, b long"
+    )
+    for phase in (_large_star, _small_star):
+        plan = explain_str(phase(sym))
+        assert "Join" not in plan, (phase.__name__, plan)
