@@ -79,6 +79,7 @@ def _plan_modules():
 _GATE_PRIORITY = [
     "app_validation",
     "star_cluster_labels",
+    "emb_ivf_topk",
     "tpch_rollup_revenue",
     "tpch_late_ship_exists",
     "tpch_small_qty_revenue",

@@ -6,8 +6,11 @@ Training-data ANN operators, Spark-first:
   query rows, dot products via ``zip_with``/``aggregate`` higher-order
   functions — JVM codegen, no UDF;
 - sign-bit LSH bucketing (axis-aligned hyperplanes on the first SIGN_BITS
-  dims): the scale path — at 10^10 vectors the bucket id is the shuffle key
-  and each bucket is searched independently (an IVF-style partition);
+  dims): at 10^10 vectors the bucket id is the shuffle key and each bucket
+  is searched independently (an IVF-style partition);
+- true IVF (trained coarse quantizer): one rounded-mean Lloyd step from
+  deterministic seeds -> inverted lists -> nprobe search — the FAISS-IVF
+  structure, the canonical 10^10-vector scale path;
 - element-wise centroid aggregation per label (posexplode + hash agg);
 - kNN label voting (majority with deterministic tiebreak).
 
@@ -392,7 +395,186 @@ def _int8_topk_sql() -> str:
     """
 
 
+# --- IVF: trained coarse quantizer + nprobe search ---------------------------
+
+K_LISTS = 8       # inverted lists (coarse centroids)
+NPROBE = 2        # lists searched per query
+SEED_STRIDE = 13  # deterministic seed picks: vec_id = 0, 13, ..., 91
+EMB_DIM = 64
+
+
+def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
+    """One Lloyd step of rounded-mean k-means: deterministic seed vectors ->
+    assign every vector to its nearest seed (rounded cosine, centroid-id
+    tiebreak) -> element-wise mean per list, each component passed through
+    the dialect-stable rounding so the trained centroids are bit-identical
+    across engines (the emb_label_centroids precedent). Returns
+    (cid, ce: array<double>), K_LISTS rows."""
+    seeds = emb.filter(
+        (F.col("vec_id") % SEED_STRIDE == 0)
+        & (F.col("vec_id") < K_LISTS * SEED_STRIDE)
+    ).select(
+        (F.col("vec_id") / SEED_STRIDE).cast("int").alias("cid"),
+        F.col("embedding").alias("ce"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    a1 = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    return (
+        a1.select("cid", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(stable_round(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
+        .select("cid", F.transform("s", lambda x: x["cv"]).alias("ce"))
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the classic 10^10-vector scale path (coarse quantizer +
+    inverted lists, the structure under FAISS IVF indexes): train K_LISTS
+    centroids (one rounded-mean Lloyd step from deterministic seeds),
+    assign the corpus to inverted lists, then for each query search only
+    its NPROBE nearest lists.
+
+    Scale shape: centroids are a broadcast (K rows); the corpus streams
+    ONCE through assignment; candidate generation is a broadcast join of
+    the tiny (query, cid) probe set against the list-keyed corpus — the
+    list id is the only shuffle key, and per-query work is corpus/K *
+    NPROBE instead of the brute-force full scan. The tiny trained/probe
+    frames are localCheckpointed so the list join never self-joins shared
+    computed lineage (the repo's dropped-row-flake policy)."""
+    emb = _emb(spark, sf_dir)
+    trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
+
+    # inverted lists: corpus -> nearest trained centroid
+    wl = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    lists = (
+        emb.crossJoin(F.broadcast(trained))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+        )
+        .withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+    # probe set: each query's NPROBE nearest trained centroids
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    probe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(trained))
+        .select("query_id", "qe", "cid", _cos4(F.col("qe"), F.col("ce")).alias("cos"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "qe", "cid")
+        .localCheckpoint(eager=True)
+    )
+
+    scored = (
+        lists.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos4(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_topk_sql() -> str:
+    cos_seed = _cos4_sql("e.embedding", "s.ce")
+    cos_list = _cos4_sql("e.embedding", "t.ce")
+    cos_probe = _cos4_sql("q.embedding", "t.ce")
+    cos_final = _cos4_sql("p.qe", "l.embedding")
+    avg4 = stable_round_sql("AVG(CAST(v AS DOUBLE))", 4)
+    return f"""
+        WITH seeds AS (
+          SELECT CAST(vec_id / {SEED_STRIDE} AS INT) AS cid, embedding AS ce
+          FROM embeddings
+          WHERE vec_id % {SEED_STRIDE} = 0
+            AND vec_id < {K_LISTS * SEED_STRIDE}
+        ),
+        a1 AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos_seed} DESC, s.cid ASC) AS r
+            FROM embeddings e CROSS JOIN seeds s
+          ) WHERE r = 1
+        ),
+        comp AS (
+          SELECT cid, g.i - 1 AS dim, embedding[g.i] AS v
+          FROM a1, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) g
+        ),
+        tc AS (
+          SELECT cid, dim, {avg4} AS cv FROM comp GROUP BY cid, dim
+        ),
+        trained AS (
+          SELECT cid, list(cv ORDER BY dim) AS ce FROM tc GROUP BY cid
+        ),
+        lists AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos_list} DESC, t.cid ASC) AS r
+            FROM embeddings e CROSS JOIN trained t
+          ) WHERE r = 1
+        ),
+        probe AS (
+          SELECT query_id, qe, cid FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {cos_probe} DESC, t.cid ASC) AS r
+            FROM embeddings q CROSS JOIN trained t
+            WHERE q.vec_id < {N_QUERIES}
+          ) p0 WHERE r <= {NPROBE}
+        ),
+        scored AS (
+          SELECT p.query_id, l.vec_id AS neighbor_id, {cos_final} AS cos
+          FROM lists l JOIN probe p USING (cid)
+          WHERE l.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """
+
+
 QUERIES = {
+    "emb_ivf_topk": q_ivf_topk,
     "emb_cosine_topk": q_cosine_topk,
     "emb_int8_topk": q_int8_topk,
     "emb_neardup_pairs": q_neardup_pairs,
@@ -403,6 +585,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_ivf_topk": _ivf_topk_sql(),
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_int8_topk": _int8_topk_sql(),
     "emb_neardup_pairs": _neardup_sql(),

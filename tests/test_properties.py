@@ -314,3 +314,22 @@ def test_int8_quantize_zero_vector(spark):
         f"SELECT {q8} FROM (SELECT [0.0, 0.0, 0.0]::DOUBLE[] AS v)"
     ).fetchone()[0]
     assert duck == [0, 0, 0]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF quality gate: nprobe=2-of-8 lists must recover most of the exact
+    brute-force top-5 (trained coarse quantizer actually partitions by
+    similarity, not arbitrarily)."""
+    from job_crawler_spark.plans.similarity import q_cosine_topk, q_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in q_cosine_topk(spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in q_ivf_topk(spark, sf).collect():
+        total += 1
+        if r.neighbor_id in exact[r.query_id]:
+            hits += 1
+    assert total == len(exact) * 5
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
