@@ -65,13 +65,14 @@ HEADLINE = [
     "seen_antijoin",
 ]
 
-# Round-2 additions, timed into the same queries map but summed separately
+# Round-2/3 additions, timed into the same queries map but summed separately
 # so `value` stays comparable round-over-round with BENCH_r01.
 EXTRA = [
     "tfidf_top_terms",
     "dup_clusters",
     "emb_int8_topk",
     "doc_repetition",
+    "emb_ivf_topk",
 ]
 
 
