@@ -403,6 +403,36 @@ SEED_STRIDE = 13  # deterministic seed picks: vec_id = 0, 13, ..., 91
 EMB_DIM = 64
 
 
+def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a max_by HASH AGGREGATE, not a
+    row_number window: the crossJoin leaves each vector's K candidate rows
+    co-partitioned, so the partial aggregate collapses them map-side and
+    the exchange moves ONE row per vector (window ranking would shuffle K
+    full-width copies on vec_id and sort — the first_wins_agg rationale).
+    Tiebreak matches the oracle's (cos DESC, cid ASC): max over the
+    lexicographic (cos, -cid) pair."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding"),
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cid").alias("cid"),
+        )
+    )
+
+
 def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
     """One Lloyd step of rounded-mean k-means: deterministic seed vectors ->
     assign every vector to its nearest seed (rounded cosine, centroid-id
@@ -417,21 +447,7 @@ def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
         (F.col("vec_id") / SEED_STRIDE).cast("int").alias("cid"),
         F.col("embedding").alias("ce"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid").asc()
-    )
-    a1 = (
-        emb.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
-        )
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    a1 = _assign_nearest(emb, seeds)
     return (
         a1.select("cid", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("cid", "dim")
@@ -459,22 +475,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
 
-    # inverted lists: corpus -> nearest trained centroid
-    wl = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid").asc()
-    )
-    lists = (
-        emb.crossJoin(F.broadcast(trained))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
-        )
-        .withColumn("r", F.row_number().over(wl))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    # inverted lists: corpus -> nearest trained centroid (max_by hash agg,
+    # one streamed corpus pass, list id the only downstream shuffle key)
+    lists = _assign_nearest(emb, trained)
 
     # probe set: each query's NPROBE nearest trained centroids
     wq = Window.partitionBy("query_id").orderBy(

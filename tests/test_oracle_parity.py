@@ -40,8 +40,9 @@ def test_outputs_are_driver_hashable(spark):
     """The external gate's canonicalizer sorts a pandas frame of the result;
     array/struct/map columns make that die with `unhashable type: 'list'`
     (the one red r02 row). Every gated query must emit atomic columns only.
-    No result materialization — though the two iterative CC queries do run
-    their convergence loops at DataFrame-construction time."""
+    No result materialization — though the iterative/eagerly-checkpointed
+    queries (the two CC ones and emb_ivf_topk's centroid training) do run
+    Spark jobs at DataFrame-construction time."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []

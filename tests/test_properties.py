@@ -320,9 +320,21 @@ def test_ivf_topk_recall(spark):
     """IVF quality gate: nprobe=2-of-8 lists must recover most of the exact
     brute-force top-5 (trained coarse quantizer actually partitions by
     similarity, not arbitrarily)."""
-    from job_crawler_spark.plans.similarity import q_cosine_topk, q_ivf_topk
+    import duckdb
+
+    from job_crawler_spark.plans.similarity import (
+        EMB_DIM,
+        q_cosine_topk,
+        q_ivf_topk,
+    )
 
     sf = "/root/testdata/sf0.001"
+    # the DuckDB oracle hardcodes unnest(range(1, EMB_DIM+1)); fail loudly
+    # here if the testdata dimension ever drifts from the constant
+    (dim,) = duckdb.connect().execute(
+        f"SELECT MAX(len(embedding)) FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchone()
+    assert dim == EMB_DIM, f"embeddings dim {dim} != EMB_DIM {EMB_DIM}"
     exact = {}
     for r in q_cosine_topk(spark, sf).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
