@@ -70,38 +70,50 @@ def _plan_modules():
     ]
 
 
-# Enumerate first the queries that have never had (or are missing) an
-# external-gate row: the driver samples a subset of queries() per round, so
-# insertion order decides which entries get checked. Never-checked in any
-# round: the 4 rollup/exists/scalar-subquery TPC-H shapes; checked only in
-# r01 (no r02 row): the other tpch_* entries, part_brand_topk, the simhash
-# pair, and media_payload_stats (r01 fail -> fixed, needs a green row).
-_GATE_PRIORITY = [
-    "app_validation",
-    "star_cluster_labels",
-    "emb_ivf_topk",
-    "tpch_rollup_revenue",
-    "tpch_late_ship_exists",
-    "tpch_small_qty_revenue",
-    "tpch_min_price_supplier",
-    "media_payload_stats",
-    "skill_gaps",
-    "doc_simhash",
-    "simhash_dup_pairs",
-    "part_brand_topk",
-    "tpch_pricing_summary",
-    "tpch_top_revenue_orders",
-    "tpch_nation_revenue",
-    "tpch_revenue_delta",
-    "tpch_promo_revenue",
-    "tpch_big_orders",
-]
+# The driver samples a subset of queries() per round, so insertion order
+# decides which entries get a fresh external-gate row. Order queries
+# least-recently-green first, derived from the committed CORRECTNESS_r*.json
+# artifacts: a query with no green row ever (e.g. one added this round)
+# sorts before everything else, and a query last green in round N-1 sorts
+# before one refreshed in round N. This self-rotates every round without a
+# hand-maintained list (names in old artifacts that no longer exist in
+# queries() are ignored; see tests/test_oracle_parity.py for the pin).
+
+
+def _last_green_rounds() -> dict[str, int]:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            # hash_match for full value checks; rows-only checks (no oracle
+            # SQL) count as green when the row check passed.
+            green = row.get("hash_match")
+            if green is None:
+                green = row.get("rows_match")
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered(merged: dict) -> dict:
-    out = {k: merged[k] for k in _GATE_PRIORITY if k in merged}
-    out.update(merged)  # existing keys keep position; the rest append
-    return out
+    last = _last_green_rounds()
+    pos = {k: i for i, k in enumerate(merged)}
+    return {
+        k: merged[k]
+        for k in sorted(merged, key=lambda k: (last.get(k, 0), pos[k]))
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

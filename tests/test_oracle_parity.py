@@ -36,6 +36,24 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_gate_order_is_least_recently_green_first():
+    """The driver samples a prefix-biased subset of queries() per round, so
+    insertion order decides freshness of gate evidence. The order must be
+    non-decreasing in last-green round (never-green entries first), derived
+    from the committed CORRECTNESS_r*.json artifacts — self-rotating, no
+    hand-maintained list to rot (r03 ADVICE)."""
+    import __spark_entry__ as entry
+
+    last = entry._last_green_rounds()
+    rounds = [last.get(name, 0) for name in QUERIES]
+    assert rounds == sorted(rounds), rounds
+    # Sanity: artifacts exist and name real queries (renames would orphan
+    # their history and re-prioritize the new name — loud here, not silent).
+    assert last, "no CORRECTNESS_r*.json parsed — gate ordering is blind"
+    known = set(last) & set(QUERIES)
+    assert len(known) >= len(last) * 0.9, sorted(set(last) - set(QUERIES))
+
+
 def test_outputs_are_driver_hashable(spark):
     """The external gate's canonicalizer sorts a pandas frame of the result;
     array/struct/map columns make that die with `unhashable type: 'list'`
