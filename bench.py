@@ -240,15 +240,24 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
             reps.append(round(time.perf_counter() - t0, 3))
         all_seconds[name] = reps
         timings[name] = min(reps)
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
     for name in EXTRA:
         # iterative queries (dup_clusters) run work at construction time —
-        # rebuild inside the timed section so the measurement includes it
-        _noop_run(queries[name](spark, sf_dir))  # warm
+        # rebuild inside the timed section so the measurement includes it.
+        # Checkpoint blocks a builder attaches to its result are released
+        # after each repeat (outside the timer) so repeats don't accumulate
+        # orphaned block sets.
+        df = queries[name](spark, sf_dir)
+        _noop_run(df)  # warm
+        release_checkpoints(df)
         reps = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            _noop_run(queries[name](spark, sf_dir))
+            df = queries[name](spark, sf_dir)
+            _noop_run(df)
             reps.append(round(time.perf_counter() - t0, 3))
+            release_checkpoints(df)
         all_seconds[name] = reps
         timings[name] = min(reps)
 

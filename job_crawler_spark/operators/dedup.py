@@ -265,8 +265,17 @@ def connected_components_star(
             "rounds — not expected for any graph of < 2^max_iter nodes"
         )
     # at the fixed point every edge attaches a node to its component min;
-    # isolated nodes label themselves
-    centers = sym_of(cur).groupBy("a").agg(F.min("b").alias("mn"))
+    # isolated nodes label themselves. centers is materialized (one small
+    # row per edge-touched node) so cur's checkpoint blocks can be released
+    # NOW instead of leaking past the return (they'd otherwise pin block
+    # storage until the context cleaner collects the frame).
+    centers = (
+        sym_of(cur)
+        .groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .localCheckpoint(eager=True)
+    )
+    cur.unpersist()
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(centers.select(F.col("a").alias("node"), "mn"), "node", "left")
@@ -351,7 +360,11 @@ def connected_components(
             # Reuse the already-materialized symmetrized edge list — passing
             # the raw `edges` would re-execute the whole upstream
             # pair-generation pipeline (canon() dedups the symmetry away).
-            return connected_components_star(sym, nodes, id_col=id_col)
+            # The star run eagerly checkpoints its own edge frame up front,
+            # so sym can be released as soon as it returns.
+            out = connected_components_star(sym, nodes, id_col=id_col)
+            sym.unpersist()
+            return out
         # loud, never silently-wrong: an unconverged run would return SPLIT
         # clusters (multiple representatives per true component)
         raise RuntimeError(
@@ -359,4 +372,7 @@ def connected_components(
             " — a component's diameter exceeds max_iter; raise max_iter or"
             " use fallback='star'"
         )
+    # converged: the returned labels are checkpointed, so the symmetrized
+    # edge list's blocks are no longer reachable from the result — release.
+    sym.unpersist()
     return labels.select(F.col("node").alias(id_col), "cluster_id")

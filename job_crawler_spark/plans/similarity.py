@@ -292,19 +292,35 @@ def _knn_label_vote_sql() -> str:
 def _quantize_int8(a: F.Column) -> F.Column:
     """Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5) with
     scale = max|x|/127 — floor(x+0.5) instead of round() because the two
-    engines disagree on round-half of doubles, while floor is exact."""
+    engines disagree on round-half of doubles, while floor is exact.
+
+    The absmax aggregate is let-bound (bind_once) and the zero-vector branch
+    hoisted to ARRAY level: referencing the O(d) aggregate inside the
+    per-element transform lambda would duplicate it into each of the d
+    elements (O(d^2) work per vector — CSE doesn't reach into HOF lambdas).
+    All-zero vector: scale = 0 would give 0/0 = NaN -> NULL longs; an
+    all-zero embedding quantizes to all-zero ints."""
+    from job_crawler_spark.functions.compat import bind_once
+
     absmax = F.aggregate(
         a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    scale = absmax / F.lit(127.0)
-    # all-zero vector: scale = 0 would give 0/0 = NaN -> NULL longs; an
-    # all-zero embedding quantizes to all-zero ints.
-    return F.transform(
-        a,
-        lambda x: F.when(absmax == F.lit(0.0), F.lit(0).cast("long")).otherwise(
-            F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
-        ),
-    )
+
+    def quantize(am: F.Column) -> F.Column:
+        scale = am / F.lit(127.0)
+        return F.when(
+            am == F.lit(0.0),
+            F.transform(a, lambda x: F.lit(0).cast("long")),
+        ).otherwise(
+            F.transform(
+                a,
+                lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        )
+
+    return bind_once(absmax, quantize)
 
 
 def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,10 +413,11 @@ def _int8_topk_sql() -> str:
 
 # --- IVF: trained coarse quantizer + nprobe search ---------------------------
 
-K_LISTS = 8       # inverted lists (coarse centroids)
-NPROBE = 2        # lists searched per query
-SEED_STRIDE = 13  # deterministic seed picks: vec_id = 0, 13, ..., 91
-EMB_DIM = 64
+K_LISTS = 8        # inverted lists (coarse centroids)
+NPROBE = 2         # lists searched per query
+SEED_STRIDE = 13   # deterministic seed picks: vec_id = 0, 13, ..., 91
+TRAIN_STRIDE = 3   # coarse-quantizer training sample: every 3rd vector ...
+TRAIN_CAP = 512    # ... capped at 512 vectors (vec_id < TRAIN_STRIDE*TRAIN_CAP)
 
 
 def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -434,12 +451,19 @@ def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
-    """One Lloyd step of rounded-mean k-means: deterministic seed vectors ->
-    assign every vector to its nearest seed (rounded cosine, centroid-id
-    tiebreak) -> element-wise mean per list, each component passed through
-    the dialect-stable rounding so the trained centroids are bit-identical
-    across engines (the emb_label_centroids precedent). Returns
-    (cid, ce: array<double>), K_LISTS rows."""
+    """One Lloyd step of rounded-mean k-means over a TRAINING SAMPLE:
+    deterministic seed vectors -> assign every sampled vector to its nearest
+    seed (rounded cosine, centroid-id tiebreak) -> element-wise mean per
+    list, each component passed through the dialect-stable rounding so the
+    trained centroids are bit-identical across engines (the
+    emb_label_centroids precedent). Returns (cid, ce: array<double>),
+    K_LISTS rows.
+
+    The sample (vec_id % TRAIN_STRIDE == 0, capped at TRAIN_CAP vectors) is
+    the FAISS practice: the coarse quantizer trains on O(K) vectors, not the
+    corpus, so training cost is CONSTANT in corpus size — without it the
+    Lloyd step costs two extra full-corpus passes and IVF loses to a brute
+    scan until the corpus outgrows memory (the r03 small-scale drag)."""
     seeds = emb.filter(
         (F.col("vec_id") % SEED_STRIDE == 0)
         & (F.col("vec_id") < K_LISTS * SEED_STRIDE)
@@ -447,7 +471,11 @@ def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
         (F.col("vec_id") / SEED_STRIDE).cast("int").alias("cid"),
         F.col("embedding").alias("ce"),
     )
-    a1 = _assign_nearest(emb, seeds)
+    train = emb.filter(
+        (F.col("vec_id") % TRAIN_STRIDE == 0)
+        & (F.col("vec_id") < TRAIN_STRIDE * TRAIN_CAP)
+    )
+    a1 = _assign_nearest(train, seeds)
     return (
         a1.select("cid", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("cid", "dim")
@@ -506,11 +534,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+    # trained/probe checkpoint blocks must outlive this (lazy) result, so
+    # they can't be unpersisted here; expose them for callers that consume
+    # the result repeatedly (bench loops) to release via release_checkpoints.
+    out._graft_checkpoints = [trained, probe]
+    return out
+
+
+def release_checkpoints(df: DataFrame) -> None:
+    """Unpersist any checkpoint blocks a query builder attached to its
+    result (``_graft_checkpoints``). Call AFTER the result is consumed —
+    localCheckpoint truncates lineage, so dropped blocks are unrecoverable.
+    Without this a loop that rebuilds the query (bench repeats) accumulates
+    one orphaned block set per construction until the context cleaner gets
+    to them."""
+    for frame in getattr(df, "_graft_checkpoints", []):
+        frame.unpersist()
 
 
 def _ivf_topk_sql() -> str:
@@ -532,11 +576,17 @@ def _ivf_topk_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY {cos_seed} DESC, s.cid ASC) AS r
             FROM embeddings e CROSS JOIN seeds s
+            WHERE e.vec_id % {TRAIN_STRIDE} = 0
+              AND e.vec_id < {TRAIN_STRIDE * TRAIN_CAP}
           ) WHERE r = 1
         ),
+        comp0 AS (
+          SELECT cid, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM a1
+        ),
         comp AS (
-          SELECT cid, g.i - 1 AS dim, embedding[g.i] AS v
-          FROM a1, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) g
+          SELECT cid, i - 1 AS dim, embedding[i] AS v FROM comp0
         ),
         tc AS (
           SELECT cid, dim, {avg4} AS cv FROM comp GROUP BY cid, dim

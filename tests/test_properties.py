@@ -320,28 +320,22 @@ def test_ivf_topk_recall(spark):
     """IVF quality gate: nprobe=2-of-8 lists must recover most of the exact
     brute-force top-5 (trained coarse quantizer actually partitions by
     similarity, not arbitrarily)."""
-    import duckdb
-
     from job_crawler_spark.plans.similarity import (
-        EMB_DIM,
         q_cosine_topk,
         q_ivf_topk,
+        release_checkpoints,
     )
 
     sf = "/root/testdata/sf0.001"
-    # the DuckDB oracle hardcodes unnest(range(1, EMB_DIM+1)); fail loudly
-    # here if the testdata dimension ever drifts from the constant
-    (dim,) = duckdb.connect().execute(
-        f"SELECT MAX(len(embedding)) FROM read_parquet('{sf}/embeddings.parquet')"
-    ).fetchone()
-    assert dim == EMB_DIM, f"embeddings dim {dim} != EMB_DIM {EMB_DIM}"
     exact = {}
     for r in q_cosine_topk(spark, sf).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = q_ivf_topk(spark, sf)
     hits = total = 0
-    for r in q_ivf_topk(spark, sf).collect():
+    for r in ivf.collect():
         total += 1
         if r.neighbor_id in exact[r.query_id]:
             hits += 1
+    release_checkpoints(ivf)
     assert total == len(exact) * 5
     assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
