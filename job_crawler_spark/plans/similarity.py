@@ -110,8 +110,11 @@ def _cosine_topk_sql() -> str:
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a<b, cos >= tau). Full pairwise here;
-    at scale the LSH buckets below prune the candidate set first."""
+    """Embedding-cosine near-dup pairs (a<b, cos >= tau) — the LABELED
+    VERIFICATION BASELINE: a full O(n^2) crossJoin that exists to measure
+    the ANN twin's recall. The scale path is q_neardup_pairs_ann (IVF
+    candidates -> exact verify); this one's plan intentionally dies at
+    100x."""
     emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -557,14 +560,14 @@ def release_checkpoints(df: DataFrame) -> None:
         frame.unpersist()
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_trained_ctes() -> str:
+    """Shared DuckDB CTE block computing the trained coarse quantizer
+    (seeds -> sampled Lloyd step -> rounded-mean centroids), mirroring
+    _ivf_trained_centroids exactly. Ends without a trailing comma."""
     cos_seed = _cos4_sql("e.embedding", "s.ce")
-    cos_list = _cos4_sql("e.embedding", "t.ce")
-    cos_probe = _cos4_sql("q.embedding", "t.ce")
-    cos_final = _cos4_sql("p.qe", "l.embedding")
     avg4 = stable_round_sql("AVG(CAST(v AS DOUBLE))", 4)
     return f"""
-        WITH seeds AS (
+        seeds AS (
           SELECT CAST(vec_id / {SEED_STRIDE} AS INT) AS cid, embedding AS ce
           FROM embeddings
           WHERE vec_id % {SEED_STRIDE} = 0
@@ -593,7 +596,15 @@ def _ivf_topk_sql() -> str:
         ),
         trained AS (
           SELECT cid, list(cv ORDER BY dim) AS ce FROM tc GROUP BY cid
-        ),
+        )"""
+
+
+def _ivf_topk_sql() -> str:
+    cos_list = _cos4_sql("e.embedding", "t.ce")
+    cos_probe = _cos4_sql("q.embedding", "t.ce")
+    cos_final = _cos4_sql("p.qe", "l.embedding")
+    return f"""
+        WITH {_ivf_trained_ctes()},
         lists AS (
           SELECT vec_id, embedding, cid FROM (
             SELECT e.vec_id, e.embedding, t.cid,
@@ -626,7 +637,111 @@ def _ivf_topk_sql() -> str:
     """
 
 
+def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN twin of emb_neardup_pairs — the 100x-scale path: candidates from
+    the trained IVF coarse quantizer (each vector replicated into its
+    NPROBE=2 nearest lists; a pair is a candidate iff the two vectors share
+    a list), then EXACT cosine >= tau verification. Precision is 1 by
+    construction (every emitted pair is exact-verified); recall is the LSH
+    tradeoff, measured against the O(n^2) baseline in
+    tests/test_properties.py and rising with pair similarity (the closer
+    the near-dup, the more certainly it shares a list).
+
+    Scale shape, vs the baseline's full crossJoin: centroids are a K-row
+    broadcast; multi-assignment is one streamed corpus pass collapsed
+    map-side (sorted-struct aggregate, no window); pair generation is
+    JOIN-FREE bucket-local i<j expansion per list (the minhash-LSH
+    pattern — one aggregation shuffle on the list id, fan-out bounded by
+    list size ~ n*NPROBE/K), never a self-join over shared computed
+    lineage."""
+    emb = _emb(spark, sf_dir)
+    trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
+
+    scored = emb.crossJoin(F.broadcast(trained)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+    )
+    # top-NPROBE lists per vector as a sorted-struct HASH AGGREGATE (the
+    # _assign_nearest rationale, generalized from argmax to top-n): the K
+    # candidate rows collapse map-side, one row per vector crosses the
+    # exchange. Tiebreak (cos DESC, cid ASC) == struct (-cos, cid) ASC.
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cos")).alias("nc"), F.col("cid").alias("cid"))
+                    )
+                ),
+                1,
+                NPROBE,
+            ).alias("top"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.explode("top.cid").alias("cid"))
+    )
+    members = (
+        assigned.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("embedding").alias("e")))
+            ).alias("vs")
+        )
+        .filter(F.size("vs") > 1)
+    )
+    vs = F.col("vs")
+    pair_structs = F.flatten(
+        F.transform(
+            vs,
+            lambda x, i: F.transform(
+                F.slice(vs, i + F.lit(2), F.size(vs)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    out = (
+        members.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.x.v").alias("a"),
+            F.col("p.y.v").alias("b"),
+            _cos4(F.col("p.x.e"), F.col("p.y.e")).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEARDUP_TAU)
+        # a pair sharing BOTH probe lists is generated twice (same cos —
+        # deterministic arithmetic), dedup before emitting
+        .distinct()
+        .orderBy("a", "b")
+    )
+    out._graft_checkpoints = [trained]
+    return out
+
+
+def _neardup_ann_sql() -> str:
+    cos_assign = _cos4_sql("e.embedding", "t.ce")
+    cos_pair = _cos4_sql("x.embedding", "y.embedding")
+    return f"""
+        WITH {_ivf_trained_ctes()},
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos_assign} DESC, t.cid ASC) AS r
+            FROM embeddings e CROSS JOIN trained t
+          ) WHERE r <= {NPROBE}
+        )
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, {cos_pair} AS cos
+        FROM assigned x JOIN assigned y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE {cos_pair} >= {NEARDUP_TAU}
+        ORDER BY a, b
+    """
+
+
 QUERIES = {
+    "emb_neardup_pairs_ann": q_neardup_pairs_ann,
     "emb_ivf_topk": q_ivf_topk,
     "emb_cosine_topk": q_cosine_topk,
     "emb_int8_topk": q_int8_topk,
@@ -638,6 +753,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_neardup_pairs_ann": _neardup_ann_sql(),
     "emb_ivf_topk": _ivf_topk_sql(),
     "emb_cosine_topk": _cosine_topk_sql(),
     "emb_int8_topk": _int8_topk_sql(),

@@ -339,3 +339,29 @@ def test_ivf_topk_recall(spark):
     release_checkpoints(ivf)
     assert total == len(exact) * 5
     assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
+
+
+def test_neardup_ann_recall(spark):
+    """emb_neardup_pairs_ann quality gate vs the O(n^2) baseline: exact
+    verification makes precision 1 (every ANN pair IS an exact pair, same
+    cosine), and the IVF co-probe candidates must recover most of the true
+    near-dup set — measured 0.694 at sf0.001 on this corpus, whose tau sits
+    barely above the random-pair cosine (hostile for any LSH; real
+    near-dups at cos>=0.9 collide far more reliably)."""
+    from job_crawler_spark.plans.similarity import (
+        q_neardup_pairs,
+        q_neardup_pairs_ann,
+        release_checkpoints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.a, r.b): r.cos for r in q_neardup_pairs(spark, sf).collect()}
+    ann_df = q_neardup_pairs_ann(spark, sf)
+    ann = {(r.a, r.b): r.cos for r in ann_df.collect()}
+    release_checkpoints(ann_df)
+    assert exact, "baseline produced no near-dup pairs — test is vacuous"
+    assert set(ann) <= set(exact), "ANN emitted a pair the exact scan lacks"
+    for pair, cos in ann.items():
+        assert cos == exact[pair], f"cos mismatch for {pair}"
+    recall = len(ann) / len(exact)
+    assert recall >= 0.55, f"ANN recall {recall:.3f} ({len(ann)}/{len(exact)})"
