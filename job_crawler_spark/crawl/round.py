@@ -87,6 +87,16 @@ class CrawlEngine:
     # over the frontier every round just to conclude "salt". Set to None to
     # re-enable adaptive detection, False for uncapped drain rounds.
     salted: bool | None = True
+    # Adaptive salt sizing (SURVEY §7.3): each round records the written
+    # frontier's hottest-host pending count (a one-column aggregate riding
+    # the commit path) and the NEXT round sizes its phase-1 salt as
+    # ceil(hottest / salt_target_rows), clamped to [1, 256] — so a mild
+    # frontier doesn't pay 32-way pre-rank fan-out and a 10^9-row hot host
+    # still gets bounded window partitions. Correctness-neutral for ANY
+    # bucket count (top-k of per-bucket top-ks == global top-k); the first
+    # round after a cold resume falls back to the static salt_buckets.
+    salt_auto: bool = True
+    salt_target_rows: int = 1 << 16
     # URL-seen prefilter backend: "bloom" (default) or "cuckoo" (deletable).
     # Correctness-neutral either way — the exact anti-join is authoritative.
     seen_filter: str = "bloom"
@@ -113,7 +123,20 @@ class CrawlEngine:
     # compact_docs()); "cow" = copy-on-write MERGE (whole-table rewrite per
     # round — the Iceberg-MERGE parity mode, exact table = visible rows).
     docs_mode: str = "mor"
+    # Auto-compaction policy (mor mode): run() compacts the documents table
+    # when the re-crawl backlog (victims force_recrawl re-admitted, each of
+    # which leaves one superseded copy once refetched) reaches this fraction
+    # of the table's physical rows. The trigger is free: an in-memory
+    # counter vs a manifest row count — no table scan.
+    auto_compact: bool = True
+    compact_superseded_frac: float = 0.2
     stats: list[dict] = field(default_factory=list)
+    # hottest-host pending count of the latest written frontier (driver-side
+    # cache feeding salt_auto; None until a round commits in-process)
+    _hot_pending: int | None = field(default=None, init=False, repr=False)
+    # URLs force_recrawl re-admitted since the last compaction (upper bound
+    # on superseded doc copies being created by subsequent rounds)
+    _recrawl_backlog: int = field(default=0, init=False, repr=False)
 
     def __post_init__(self) -> None:
         if self.seen_filter not in ("bloom", "cuckoo"):
@@ -294,10 +317,12 @@ class CrawlEngine:
         row = ck.agg(F.max("round").alias("m")).collect()[0]
         return 0 if row.m is None else int(row.m) + 1
 
-    def _pinned_versions(self, round_no: int) -> tuple[int, int, int]:
-        """Snapshot versions this round's inputs are read as-of: the state the
-        PREVIOUS round's checkpoint committed. Replays therefore recompute
-        from identical inputs even when later snapshots already exist."""
+    def _pinned_ckpt_row(self, round_no: int) -> dict:
+        """The full winning checkpoint row of round_no - 1: the state this
+        round's inputs are read as-of. Replays therefore recompute from
+        identical inputs even when later snapshots already exist. Returned
+        whole so callers that go on to repin the same row (the adoption
+        branch) don't pay a second read+collect job."""
         ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
         # newest-version row wins if a legacy (untagged) catalog ever holds
         # duplicate rows for one round: the latest repin supersedes
@@ -312,8 +337,12 @@ class CrawlEngine:
                 f"no checkpoint for round {round_no - 1}; bootstrap first or "
                 f"resume from next_round()"
             )
-        r = row[0]
-        return int(r.frontier_v), int(r.seen_v), int(r.shards_v)
+        return row[0].asDict()
+
+    def _pinned_versions(self, round_no: int) -> tuple[int, int, int]:
+        """(frontier_v, seen_v, shards_v) pins — see _pinned_ckpt_row."""
+        r = self._pinned_ckpt_row(round_no)
+        return int(r["frontier_v"]), int(r["seen_v"]), int(r["shards_v"])
 
     def _latest_ckpt_row(self, round_no: int) -> dict:
         """The winning checkpoint row for a round (latest repin supersedes)."""
@@ -339,6 +368,18 @@ class CrawlEngine:
         marker = self.spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
         self._round_keyed_write(self.T_CKPT, marker, CHECKPOINT_SCHEMA, round_no)
 
+    def _effective_salt_buckets(self) -> int:
+        """Phase-1 salt width for the next schedule: sized from the latest
+        written frontier's hottest-host pending count when salt_auto is on
+        and a round has committed in-process; the static salt_buckets
+        otherwise (cold resume / first round). Any value >= 1 yields
+        bit-identical schedules — this only tunes window-partition size."""
+        if not self.salt_auto or self._hot_pending is None:
+            return self.salt_buckets
+        import math
+
+        return max(1, min(256, math.ceil(self._hot_pending / self.salt_target_rows)))
+
     # -- one round ----------------------------------------------------------------
     def run_round(self, round_no: int) -> dict:
         import os as _os
@@ -360,7 +401,10 @@ class CrawlEngine:
         spark, cat = self.spark, self.catalog
         self._check_bloom_params()
         self._check_docs_mode()
-        fv, sv, shv = self._pinned_versions(round_no)
+        ck_row = self._pinned_ckpt_row(round_no)
+        fv = int(ck_row["frontier_v"])
+        sv = int(ck_row["seen_v"])
+        shv = int(ck_row["shards_v"])
         # adopt unpinned APPEND-only frontier progress (a seed ingest that
         # crashed before its repin): commits are atomic, appends only add
         # pending rows, and a replay re-adopts at least the same set — the
@@ -386,13 +430,15 @@ class CrawlEngine:
                         cat.row_count(self.T_FRONTIER, version=latest_fv)
                     ),
                 },
+                row=ck_row,
             )
             fv = latest_fv
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
 
         batch = schedule_batch(
-            frontier, self.robots, self.round_seconds, self.salt_buckets,
+            frontier, self.robots, self.round_seconds,
+            self._effective_salt_buckets(),
             salted=self.salted,
         ).cache()
         n_scheduled = batch.count()
@@ -516,6 +562,24 @@ class CrawlEngine:
         new_frontier = remaining.unionByName(discovered)
         frontier_v = cat.overwrite(new_frontier, self.T_FRONTIER)
         _mark("frontier_write")
+
+        if self.salt_auto:
+            # hottest-host pending count of the frontier the NEXT round will
+            # schedule from — read back from the just-written snapshot (one
+            # pruned string column, hash agg) rather than recomputing the
+            # union's lineage. Feeds _effective_salt_buckets.
+            hot = (
+                cat.read(
+                    spark, self.T_FRONTIER, version=frontier_v,
+                    schema=PENDING_SCHEMA,
+                )
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("hot"))
+                .collect()[0].hot
+            )
+            self._hot_pending = int(hot) if hot is not None else None
+            _mark("host_stats")
 
         # per-partition lineage (round-keyed rewrite = replay-idempotent)
         lineage = (
@@ -873,8 +937,40 @@ class CrawlEngine:
             },
             row=ck_row,
         )
+        # each victim already has a doc copy (modulo fetch failures), so its
+        # re-crawl will append a superseding copy — feed the auto-compaction
+        # trigger run() checks after every round
+        self._recrawl_backlog += int(n_victims)
         return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
                 "round": last}
+
+    def _maybe_compact(self) -> bool:
+        """Auto-compaction policy (run() calls this between rounds): compact
+        the mor documents table once the re-crawl backlog reaches
+        compact_superseded_frac of the table's physical rows. The check is
+        metadata-only (in-memory counter vs manifest row count). Safe by
+        construction: docs versions are never pinned in checkpoints, and
+        compact_docs rewrites per round partition keeping the round tags, so
+        a replay still targets exactly its own round's files — compaction
+        can never race a pinned checkpoint. Runs strictly BETWEEN round
+        commits (never mid-round). The backlog is an upper bound (a victim
+        not yet refetched contributes no superseded copy until it is) —
+        over-eager compaction wastes one rewrite, never correctness."""
+        if (
+            self.docs_mode != "mor"
+            or not self.auto_compact
+            or self._recrawl_backlog <= 0
+            or not self.catalog.exists(self.T_DOCS)
+        ):
+            return False
+        physical = int(self.catalog.row_count(self.T_DOCS))
+        if physical <= 0 or self._recrawl_backlog < (
+            self.compact_superseded_frac * physical
+        ):
+            return False
+        self.compact_docs()
+        self._recrawl_backlog = 0
+        return True
 
     # -- multi-round driver ---------------------------------------------------
     def run(self, max_rounds: int) -> list[dict]:
@@ -885,4 +981,5 @@ class CrawlEngine:
             out.append(res)
             if res.get("done"):
                 break
+            self._maybe_compact()
         return out

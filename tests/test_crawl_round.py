@@ -642,3 +642,74 @@ def test_probe_mode_auto_selects_by_filter_size(spark, tmp_path):
         for r in auto_routed.catalog.read(spark, auto_routed.T_SEEN).collect()
     }
     assert got_seen == set(want["seen"])
+
+
+def test_auto_compaction_bounds_physical_rows(spark, tmp_path):
+    """run() auto-compacts the mor documents table once the force_recrawl
+    backlog crosses compact_superseded_frac of physical rows — a long crawl
+    with re-crawls keeps storage bounded without an operator calling
+    compact_docs() (r03 verdict: the policy was missing)."""
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "autocompact")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        docs_mode="mor",
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+        compact_superseded_frac=0.05,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 60))
+    eng.run(1)
+    r0_urls = eng.catalog.read(spark, eng.T_SCHED).filter(
+        F.col("round") == 0
+    ).select("url_canon")
+    n_victims = r0_urls.count()
+    eng.force_recrawl(r0_urls, priority=100.0)
+    assert eng._recrawl_backlog == n_victims
+    # run() refetches the victims (superseding their old copies), then the
+    # between-round policy fires and folds the superseded copies away
+    eng.run(1)
+    assert eng._recrawl_backlog == 0  # compaction ran and reset the trigger
+    n_physical = eng.catalog.read(spark, eng.T_DOCS).count()
+    n_visible = eng.read_docs().count()
+    assert n_physical == n_visible  # no superseded copies survive run()
+    # content sanity: every re-crawled doc still visible exactly once
+    assert eng.read_docs().select("doc_id").distinct().count() == n_visible
+
+
+def test_adaptive_salt_buckets_from_hot_host(spark, tmp_path):
+    """salt_auto: each round records the written frontier's hottest-host
+    pending count and the next schedule sizes its phase-1 salt from it
+    (clamped to [1, 256]); a cold engine falls back to the static width.
+    Bucket width is correctness-neutral (test_two_phase_equals_single_phase
+    pins that; the module fixture's oracle gates pin it end-to-end)."""
+    import math
+
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "saltauto")),
+        robots=synth.robots_df(spark),
+        round_seconds=ROUND_SECONDS,
+        bloom_shards=8,
+        bloom_bits=1 << 16,
+        bloom_k=5,
+        salt_target_rows=4,  # tiny target -> derived width > 1 at test scale
+    )
+    assert eng._effective_salt_buckets() == eng.salt_buckets  # cold: static
+    eng.bootstrap(synth.seed_frontier(spark, 200))
+    eng.run_round(0)
+    fv = int(eng._latest_ckpt_row(0)["frontier_v"])
+    hot = (
+        eng.catalog.read(spark, eng.T_FRONTIER, version=fv)
+        .groupBy("host").count().agg(F.max("count").alias("m"))
+        .collect()[0].m
+    )
+    assert eng._hot_pending == int(hot)
+    want = max(1, min(256, math.ceil(hot / 4)))
+    assert eng._effective_salt_buckets() == want
+    assert want > 1  # the derived width actually departed from the floor
+    # the next round schedules with the derived width and stays green
+    eng.run_round(1)
+    assert eng._hot_pending is not None
