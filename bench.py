@@ -46,6 +46,8 @@ ENGINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_ENGINE_ROUNDS", "2"))
 ENGINE_ROUND_SECONDS = int(
     os.environ.get("SPARK_GRAFT_ENGINE_ROUND_SECONDS", "30000")
 )
+# streaming continuous-crawl section: seeds per micro-batch (2 batches run)
+STREAM_SEEDS = int(os.environ.get("SPARK_GRAFT_STREAM_SEEDS", "50000"))
 
 HEADLINE = [
     "tpch_pricing_summary",
@@ -73,6 +75,7 @@ EXTRA = [
     "emb_int8_topk",
     "doc_repetition",
     "emb_ivf_topk",
+    "emb_neardup_pairs_ann",
 ]
 
 
@@ -220,6 +223,92 @@ def fetch_parse_throughput(spark, n_urls: int, repeats: int = 1) -> dict:
     }
 
 
+def streaming_bench(spark, seeds_per_batch: int, repeats: int = 1) -> dict:
+    """Continuous-crawl (T1/T6) evidence in the judged artifact: the
+    Structured Streaming loop (seed files -> readStream -> foreachBatch of
+    ingest_seeds + a full resumable engine round) timed over 2 micro-batches
+    with an availableNow drain. Each repeat builds a FRESH engine/catalog
+    (streaming mutates state, so repeats aren't reruns of one plan); the
+    minimum drain time is reported, min-of-N methodology as everywhere.
+    After the last drain the SAME batches are redelivered under a fresh
+    stream checkpoint (simulated offset loss): table-level exactly-once
+    requires zero re-admission, asserted here — the artifact fails loudly
+    if idempotence ever regresses."""
+    import glob
+    import shutil
+    import tempfile
+
+    from job_crawler_spark.catalog import Catalog
+    from job_crawler_spark.crawl.round import CrawlEngine
+    from job_crawler_spark.sources import synth
+    from job_crawler_spark.streaming.crawl_stream import continuous_crawl
+
+    best = None
+    redelivery_admitted: list[int] = []
+    for rep in range(repeats):
+        tmp = tempfile.mkdtemp(prefix="jcs_bench_stream_")
+        eng = CrawlEngine(
+            spark=spark,
+            catalog=Catalog(f"{tmp}/wh"),
+            robots=synth.robots_df(spark),
+            round_seconds=30000,
+            bloom_shards=16,
+            bloom_bits=1 << 20,
+            bloom_k=5,
+        )
+        eng.bootstrap(synth.seed_frontier(spark, seeds_per_batch))
+        eng.run(1)
+
+        seed_dir = f"{tmp}/seeds"
+        os.makedirs(seed_dir, exist_ok=True)
+        for name, start in (
+            ("batch-a", seeds_per_batch),
+            ("batch-b", 2 * seeds_per_batch),
+        ):
+            staging = f"{tmp}/stage-{name}"
+            synth.seed_frontier(spark, seeds_per_batch, start=start).select(
+                "url", "depth", "priority", "round"
+            ).coalesce(1).write.mode("overwrite").parquet(staging)
+            part = glob.glob(f"{staging}/*.parquet")[0]
+            shutil.copy(part, f"{seed_dir}/{name}.parquet")
+
+        rounds_before = eng.next_round()
+        t0 = time.perf_counter()
+        q = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt")
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        fetched = sum(
+            int(s["fetched"])
+            for s in eng.stats
+            if "fetched" in s and int(s.get("round", -1)) >= rounds_before
+        )
+        n_batches = sum(1 for s in eng.stats if "stream_batch" in s)
+        if best is None or dt < best["seconds"]:
+            best = {"seconds": dt, "fetched": fetched, "batches": n_batches}
+        if rep == repeats - 1:
+            # redelivery: same files, fresh offsets -> ingest must admit 0
+            q2 = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt2")
+            q2.awaitTermination()
+            redelivery_admitted = [
+                int(s["admitted"])
+                for s in eng.stats
+                if "stream_batch" in s
+            ][n_batches:]
+            assert redelivery_admitted and all(
+                a == 0 for a in redelivery_admitted
+            ), f"redelivered batches re-admitted seeds: {redelivery_admitted}"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "seeds_per_batch": seeds_per_batch,
+        "batches": best["batches"],
+        "seconds": round(best["seconds"], 3),
+        "fetched": best["fetched"],
+        "urls_per_sec": round(best["fetched"] / best["seconds"], 1),
+        "redelivery_admitted": redelivery_admitted,
+    }
+
+
 def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_URLS) -> dict:
     from job_crawler_spark.session import get_spark
 
@@ -268,6 +357,8 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
     engine = engine_round_bench(
         spark, ENGINE_SEEDS, ENGINE_ROUNDS, ENGINE_ROUND_SECONDS
     )
+
+    streaming = streaming_bench(spark, STREAM_SEEDS, repeats=REPEATS)
     spark.stop()
 
     return {
@@ -282,6 +373,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
         "crawl": crawl,
         "engine_round_urls_per_sec": engine["value"],
         "engine_rounds": engine,
+        "streaming": streaming,
     }
 
 

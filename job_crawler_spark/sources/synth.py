@@ -105,11 +105,13 @@ def frontier_rows(n: int) -> list[dict[str, Any]]:
     ]
 
 
-def seed_frontier(spark: SparkSession, n: int) -> DataFrame:
+def seed_frontier(spark: SparkSession, n: int, start: int = 0) -> DataFrame:
     """Distributed seed-frontier generator: spark.range -> mapInPandas.
 
     Narrow (no shuffle); each partition derives its rows from ids alone, so
     this scales linearly to a 10^10-row frontier on a real cluster.
+    ``start`` offsets the id range — disjoint ranges yield disjoint URL
+    batches (continuous-ingestion benchmarks/tests).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,7 +131,9 @@ def seed_frontier(spark: SparkSession, n: int) -> DataFrame:
                 }
             )
 
-    return spark.range(n).mapInPandas(gen, schema=schemas.FRONTIER_SCHEMA)
+    return spark.range(start, start + n).mapInPandas(
+        gen, schema=schemas.FRONTIER_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

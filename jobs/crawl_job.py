@@ -43,6 +43,11 @@ def main() -> None:
     ap.add_argument("--probe-mode", choices=("auto", "broadcast", "routed"),
                     default="auto")
     ap.add_argument("--docs-mode", choices=("mor", "cow"), default="mor")
+    ap.add_argument("--no-auto-compact", action="store_true",
+                    help="disable between-round mor compaction policy")
+    ap.add_argument("--salt-target-rows", type=int, default=1 << 16,
+                    help="adaptive phase-1 salt sizes window partitions to "
+                         "about this many rows of the hottest host")
     args = ap.parse_args()
 
     # spark-submit owns master/deploy conf; only session-level settings the
@@ -72,6 +77,8 @@ def main() -> None:
         seen_filter=args.seen_filter,
         probe_mode=args.probe_mode,
         docs_mode=args.docs_mode,
+        auto_compact=not args.no_auto_compact,
+        salt_target_rows=args.salt_target_rows,
     )
     bootstrapped = False
     if not catalog.exists(engine.T_CKPT):
