@@ -657,9 +657,20 @@ def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
 
-    scored = emb.crossJoin(F.broadcast(trained)).select(
+    # per-vector prep ONCE: double-cast components + the vector's norm —
+    # every candidate pair then costs one dot and one division instead of
+    # re-deriving two norms (same doubles as _cos4 computes inline, so the
+    # emitted cosines are bit-identical to the baseline's / the oracle's)
+    base = emb.select(
         "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ed"),
+        _norm(F.col("embedding")).alias("nrm"),
         "embedding",
+    )
+    scored = base.crossJoin(F.broadcast(trained)).select(
+        "vec_id",
+        "ed",
+        "nrm",
         "cid",
         _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
     )
@@ -679,37 +690,59 @@ def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
                 NPROBE,
             ).alias("top"),
-            F.first("embedding").alias("embedding"),
+            F.first("ed").alias("ed"),
+            F.first("nrm").alias("nrm"),
         )
-        .select("vec_id", "embedding", F.explode("top.cid").alias("cid"))
+        .select("vec_id", "ed", "nrm", F.explode("top.cid").alias("cid"))
     )
     members = (
         assigned.groupBy("cid")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("v"), F.col("embedding").alias("e")))
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("v"),
+                        F.col("ed").alias("e"),
+                        F.col("nrm").alias("n"),
+                    )
+                )
             ).alias("vs")
         )
         .filter(F.size("vs") > 1)
     )
     vs = F.col("vs")
-    pair_structs = F.flatten(
-        F.transform(
-            vs,
-            lambda x, i: F.transform(
-                F.slice(vs, i + F.lit(2), F.size(vs)),
-                lambda y: F.struct(x.alias("x"), y.alias("y")),
-            ),
+
+    def pair_cos(x: F.Column, y: F.Column) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(x["e"], y["e"], lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
         )
+        return stable_round(dot / (x["n"] * y["n"]), 4)
+
+    # i<j expansion emits SCALAR (a, b, cos) structs — the cosine is
+    # computed in place and the tau filter applied before the explode, so
+    # neither full embeddings nor sub-threshold pairs are ever materialized
+    # in the expanded array (the first cut copied both vectors into every
+    # candidate struct: ~100 MB single rows and a 10x slowdown at sf0.1)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                vs,
+                lambda x, i: F.transform(
+                    F.slice(vs, i + F.lit(2), F.size(vs)),
+                    lambda y: F.struct(
+                        x["v"].alias("a"), y["v"].alias("b"),
+                        pair_cos(x, y).alias("cos"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["cos"] >= NEARDUP_TAU,
     )
     out = (
         members.select(F.explode(pair_structs).alias("p"))
-        .select(
-            F.col("p.x.v").alias("a"),
-            F.col("p.y.v").alias("b"),
-            _cos4(F.col("p.x.e"), F.col("p.y.e")).alias("cos"),
-        )
-        .filter(F.col("cos") >= NEARDUP_TAU)
+        .select("p.a", "p.b", "p.cos")
         # a pair sharing BOTH probe lists is generated twice (same cos —
         # deterministic arithmetic), dedup before emitting
         .distinct()

@@ -79,6 +79,23 @@ def test_cosine_topk_broadcasts_query_side(spark, queries):
     assert "Broadcast" in plan, plan
 
 
+def test_neardup_ann_is_broadcast_agg_no_selfjoin(spark, queries):
+    """The near-dup ANN scale shape: K centroids broadcast to the corpus
+    scan, top-2 list assignment as a hash AGGREGATE (no vec_id window
+    sort), pair generation join-free (bucket-local expansion — never a
+    SortMergeJoin over shared lineage), and exactly three width-bounded
+    shuffles: vec_id agg, cid agg, final distinct."""
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
+    df = queries["emb_neardup_pairs_ann"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_hash_exchanges(plan) == 3, plan
+
+
 def test_schedule_batch_uncapped_skips_salting(spark):
     """The adaptive scheduler must not pay the salted pre-rank when budgets
     never truncate (salted=False fast path): exactly one window."""
