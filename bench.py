@@ -272,32 +272,39 @@ def streaming_bench(spark, seeds_per_batch: int, repeats: int = 1) -> dict:
             part = glob.glob(f"{staging}/*.parquet")[0]
             shutil.copy(part, f"{seed_dir}/{name}.parquet")
 
-        rounds_before = eng.next_round()
-        t0 = time.perf_counter()
-        q = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt")
-        q.awaitTermination()
-        dt = time.perf_counter() - t0
-        fetched = sum(
-            int(s["fetched"])
-            for s in eng.stats
-            if "fetched" in s and int(s.get("round", -1)) >= rounds_before
-        )
-        n_batches = sum(1 for s in eng.stats if "stream_batch" in s)
-        if best is None or dt < best["seconds"]:
-            best = {"seconds": dt, "fetched": fetched, "batches": n_batches}
-        if rep == repeats - 1:
-            # redelivery: same files, fresh offsets -> ingest must admit 0
-            q2 = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt2")
-            q2.awaitTermination()
-            redelivery_admitted = [
-                int(s["admitted"])
+        try:
+            rounds_before = eng.next_round()
+            t0 = time.perf_counter()
+            q = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt")
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            fetched = sum(
+                int(s["fetched"])
                 for s in eng.stats
-                if "stream_batch" in s
-            ][n_batches:]
-            assert redelivery_admitted and all(
-                a == 0 for a in redelivery_admitted
-            ), f"redelivered batches re-admitted seeds: {redelivery_admitted}"
-        shutil.rmtree(tmp, ignore_errors=True)
+                if "fetched" in s and int(s.get("round", -1)) >= rounds_before
+            )
+            n_batches = sum(1 for s in eng.stats if "stream_batch" in s)
+            if best is None or dt < best["seconds"]:
+                best = {"seconds": dt, "fetched": fetched, "batches": n_batches}
+            if rep == repeats - 1:
+                # redelivery: same files, fresh offsets -> ingest must
+                # admit 0. A real raise (not assert — the guarantee must
+                # survive `python -O`) so the artifact fails loudly if
+                # table-level exactly-once ever regresses.
+                q2 = continuous_crawl(eng, seed_dir, f"{tmp}/ckpt2")
+                q2.awaitTermination()
+                redelivery_admitted = [
+                    int(s["admitted"])
+                    for s in eng.stats
+                    if "stream_batch" in s
+                ][n_batches:]
+                if not redelivery_admitted or any(redelivery_admitted):
+                    raise RuntimeError(
+                        "redelivered batches re-admitted seeds: "
+                        f"{redelivery_admitted}"
+                    )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     return {
         "seeds_per_batch": seeds_per_batch,

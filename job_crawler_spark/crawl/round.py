@@ -130,6 +130,12 @@ class CrawlEngine:
     # counter vs a manifest row count — no table scan.
     auto_compact: bool = True
     compact_superseded_frac: float = 0.2
+    # The backlog counter is in-memory and lost on restart, so every
+    # compact_check_rounds rounds the policy audits the EXACT superseded
+    # count (physical rows minus distinct doc_ids — one single-column
+    # aggregate) and compacts from that if the threshold is crossed. This
+    # heals restart-lost counters and any backlog under/over-count.
+    compact_check_rounds: int = 16
     stats: list[dict] = field(default_factory=list)
     # hottest-host pending count of the latest written frontier (driver-side
     # cache feeding salt_auto; None until a round commits in-process)
@@ -137,6 +143,7 @@ class CrawlEngine:
     # URLs force_recrawl re-admitted since the last compaction (upper bound
     # on superseded doc copies being created by subsequent rounds)
     _recrawl_backlog: int = field(default=0, init=False, repr=False)
+    _rounds_since_compact_check: int = field(default=0, init=False, repr=False)
 
     def __post_init__(self) -> None:
         if self.seen_filter not in ("bloom", "cuckoo"):
@@ -563,11 +570,14 @@ class CrawlEngine:
         frontier_v = cat.overwrite(new_frontier, self.T_FRONTIER)
         _mark("frontier_write")
 
-        if self.salt_auto:
+        if self.salt_auto and self.salted is not False:
             # hottest-host pending count of the frontier the NEXT round will
             # schedule from — read back from the just-written snapshot (one
             # pruned string column, hash agg) rather than recomputing the
-            # union's lineage. Feeds _effective_salt_buckets.
+            # union's lineage. Feeds _effective_salt_buckets. Skipped when
+            # salted=False (uncapped drain rounds): schedule_batch never
+            # enters the salting phase there, so the stat would be dead
+            # weight — a full-frontier aggregate per round at 10^9 rows.
             hot = (
                 cat.read(
                     spark, self.T_FRONTIER, version=frontier_v,
@@ -939,8 +949,11 @@ class CrawlEngine:
         )
         # each victim already has a doc copy (modulo fetch failures), so its
         # re-crawl will append a superseding copy — feed the auto-compaction
-        # trigger run() checks after every round
-        self._recrawl_backlog += int(n_victims)
+        # trigger run() checks after every round. max() covers the
+        # crash-rerun path, where the completing call sees n_victims == 0
+        # but re-admits the earlier crash's victims via the unknown-url
+        # branch (n_readmit counts them).
+        self._recrawl_backlog += max(int(n_victims), int(n_readmit))
         return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
                 "round": last}
 
@@ -955,21 +968,42 @@ class CrawlEngine:
         can never race a pinned checkpoint. Runs strictly BETWEEN round
         commits (never mid-round). The backlog is an upper bound (a victim
         not yet refetched contributes no superseded copy until it is) —
-        over-eager compaction wastes one rewrite, never correctness."""
+        over-eager compaction wastes one rewrite, never correctness. The
+        counter is in-memory: a restarted engine starts at 0, so every
+        compact_check_rounds rounds the policy audits the EXACT superseded
+        count (physical minus distinct doc_ids, one single-column
+        aggregate) — superseded copies therefore get folded within a
+        bounded number of rounds even across restarts, and the streaming
+        loop calls this too (crawl_stream.process_batch)."""
         if (
             self.docs_mode != "mor"
             or not self.auto_compact
-            or self._recrawl_backlog <= 0
             or not self.catalog.exists(self.T_DOCS)
         ):
             return False
+        self._rounds_since_compact_check += 1
         physical = int(self.catalog.row_count(self.T_DOCS))
-        if physical <= 0 or self._recrawl_backlog < (
-            self.compact_superseded_frac * physical
+        if physical <= 0:
+            return False
+        superseded = self._recrawl_backlog
+        threshold = max(1.0, self.compact_superseded_frac * physical)
+        if (
+            superseded < threshold
+            and self._rounds_since_compact_check >= self.compact_check_rounds
         ):
+            self._rounds_since_compact_check = 0
+            n_distinct = (
+                self.catalog.read(self.spark, self.T_DOCS)
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            superseded = physical - int(n_distinct)
+        if superseded < threshold:
             return False
         self.compact_docs()
         self._recrawl_backlog = 0
+        self._rounds_since_compact_check = 0
         return True
 
     # -- multi-round driver ---------------------------------------------------

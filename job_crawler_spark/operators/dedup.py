@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from job_crawler_spark.operators.checkpoints import (
+    release,
+    tracked_local_checkpoint,
+)
+
 
 def first_wins(
     df: DataFrame,
@@ -239,10 +244,10 @@ def connected_components_star(
     def sym_of(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
-    cur = canon(edges.selectExpr("a", "b")).localCheckpoint(eager=True)
+    cur = tracked_local_checkpoint(canon(edges.selectExpr("a", "b")))
     for _ in range(max_iter):
         ls = canon(_large_star(sym_of(cur)))
-        nxt = canon(_small_star(sym_of(ls))).localCheckpoint(eager=True)
+        nxt = tracked_local_checkpoint(canon(_small_star(sym_of(ls))))
         # fixed point: identical undirected edge sets. Both sides are
         # distinct, so equality <=> every edge of the union appears exactly
         # twice — ONE aggregation shuffle + one action, exact (no hashing),
@@ -255,7 +260,7 @@ def connected_components_star(
             .limit(1)
             .count()
         )
-        cur.unpersist()
+        release(cur)
         cur = nxt
         if changed == 0:
             break
@@ -269,14 +274,11 @@ def connected_components_star(
     # row per edge-touched node) so cur's checkpoint blocks can be released
     # NOW instead of leaking past the return (they'd otherwise pin block
     # storage until the context cleaner collects the frame).
-    centers = (
-        sym_of(cur)
-        .groupBy("a")
-        .agg(F.min("b").alias("mn"))
-        .localCheckpoint(eager=True)
+    centers = tracked_local_checkpoint(
+        sym_of(cur).groupBy("a").agg(F.min("b").alias("mn"))
     )
-    cur.unpersist()
-    return (
+    release(cur)
+    out = (
         nodes.select(F.col(id_col).alias("node"))
         .join(centers.select(F.col("a").alias("node"), "mn"), "node", "left")
         .select(
@@ -284,6 +286,10 @@ def connected_components_star(
             F.least(F.col("node"), F.coalesce("mn", "node")).alias("cluster_id"),
         )
     )
+    # the result reads the centers checkpoint lazily; consumers release its
+    # blocks after the last action
+    out._graft_checkpoints = [centers]
+    return out
 
 
 def connected_components(
@@ -318,14 +324,14 @@ def connected_components(
     # materialize the (symmetrized) edge list ONCE: it is joined every
     # iteration, and without this the whole upstream pair-generation plan
     # (e.g. the MinHash-LSH pipeline) would re-execute per iteration
-    sym = (
-        edges.selectExpr("a", "b")
-        .union(edges.selectExpr("b AS a", "a AS b"))
-        .localCheckpoint(eager=True)
+    sym = tracked_local_checkpoint(
+        edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = tracked_local_checkpoint(
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+        )
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -345,15 +351,16 @@ def connected_components(
                     F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = tracked_local_checkpoint(new_labels)
         changed = new_labels.filter("__changed").limit(1).count()
-        labels.unpersist()
+        release(labels)
         labels = new_labels.select("node", "cluster_id")
+        labels._graft_ckpt_rdds = new_labels._graft_ckpt_rdds
         if changed == 0:
             break
     else:
-        labels.unpersist()
+        release(labels)
         if fallback == "star":
             # a component's diameter exceeds max_iter: switch to the
             # diameter-independent star contraction rather than failing.
@@ -363,7 +370,7 @@ def connected_components(
             # The star run eagerly checkpoints its own edge frame up front,
             # so sym can be released as soon as it returns.
             out = connected_components_star(sym, nodes, id_col=id_col)
-            sym.unpersist()
+            release(sym)
             return out
         # loud, never silently-wrong: an unconverged run would return SPLIT
         # clusters (multiple representatives per true component)
@@ -374,5 +381,9 @@ def connected_components(
         )
     # converged: the returned labels are checkpointed, so the symmetrized
     # edge list's blocks are no longer reachable from the result — release.
-    sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    release(sym)
+    out = labels.select(F.col("node").alias(id_col), "cluster_id")
+    # the result reads the final label checkpoint lazily; consumers release
+    # its blocks after the last action (bench loops, gate harness)
+    out._graft_checkpoints = [labels]
+    return out

@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+from job_crawler_spark.operators.checkpoints import (  # noqa: F401 (re-export)
+    release_checkpoints,
+    tracked_local_checkpoint,
+)
 
 N_QUERIES = 20       # query vectors for top-k demos
 TOP_K = 5
@@ -504,7 +508,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are localCheckpointed so the list join never self-joins shared
     computed lineage (the repo's dropped-row-flake policy)."""
     emb = _emb(spark, sf_dir)
-    trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
+    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb))
 
     # inverted lists: corpus -> nearest trained centroid (max_by hash agg,
     # one streamed corpus pass, list id the only downstream shuffle key)
@@ -522,8 +526,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= NPROBE)
         .select("query_id", "qe", "cid")
-        .localCheckpoint(eager=True)
     )
+    probe = tracked_local_checkpoint(probe)
 
     scored = (
         lists.join(F.broadcast(probe), "cid")
@@ -547,17 +551,6 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result repeatedly (bench loops) to release via release_checkpoints.
     out._graft_checkpoints = [trained, probe]
     return out
-
-
-def release_checkpoints(df: DataFrame) -> None:
-    """Unpersist any checkpoint blocks a query builder attached to its
-    result (``_graft_checkpoints``). Call AFTER the result is consumed —
-    localCheckpoint truncates lineage, so dropped blocks are unrecoverable.
-    Without this a loop that rebuilds the query (bench repeats) accumulates
-    one orphaned block set per construction until the context cleaner gets
-    to them."""
-    for frame in getattr(df, "_graft_checkpoints", []):
-        frame.unpersist()
 
 
 def _ivf_trained_ctes() -> str:
@@ -653,9 +646,17 @@ def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN-FREE bucket-local i<j expansion per list (the minhash-LSH
     pattern — one aggregation shuffle on the list id, fan-out bounded by
     list size ~ n*NPROBE/K), never a self-join over shared computed
-    lineage."""
+    lineage.
+
+    Scale caveat (honest): per-list work/memory is O((n*NPROBE/K)^2) and
+    each list evaluates in one task, so the STRUCTURE only holds at scale
+    if K_LISTS grows with the corpus (FAISS practice: K ~ sqrt(n), keeping
+    lists ~sqrt(n) and parallelism = K). K is pinned at 8 here because the
+    DuckDB oracle must reproduce the exact trained quantizer; a production
+    deployment sets K from corpus size, which also caps the collect_list
+    row under Spark's 2 GB array limit."""
     emb = _emb(spark, sf_dir)
-    trained = _ivf_trained_centroids(emb).localCheckpoint(eager=True)
+    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb))
 
     # per-vector prep ONCE: double-cast components + the vector's norm —
     # every candidate pair then costs one dot and one division instead of

@@ -735,7 +735,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = q_minhash_lsh_pairs(spark, sf_dir)
     nodes = _docs(spark, sf_dir).select("doc_id")
-    return connected_components(edges, nodes).orderBy("doc_id")
+    cc = connected_components(edges, nodes)
+    out = cc.orderBy("doc_id")
+    # keep the label-checkpoint handle visible to release_checkpoints
+    out._graft_checkpoints = getattr(cc, "_graft_checkpoints", [])
+    return out
 
 
 def _dup_clusters_sql() -> str:
@@ -775,7 +779,11 @@ def q_star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
     )
     nodes = docs.select("doc_id")
-    return connected_components_star(edges, nodes).orderBy("doc_id")
+    cc = connected_components_star(edges, nodes)
+    out = cc.orderBy("doc_id")
+    # keep the centers-checkpoint handle visible to release_checkpoints
+    out._graft_checkpoints = getattr(cc, "_graft_checkpoints", [])
+    return out
 
 
 Q_STAR_CLUSTER_LABELS_SQL = """

@@ -67,6 +67,10 @@ def continuous_crawl(
             res = engine.run_round(engine.next_round())
             if res.get("done"):
                 break
+        # same between-round compaction policy the batch driver (run())
+        # applies — a continuous crawl with force_recrawls must not
+        # accumulate superseded doc copies unbounded
+        engine._maybe_compact()
         engine.stats.append(
             {"stream_batch": int(batch_id), "admitted": int(admitted)}
         )
