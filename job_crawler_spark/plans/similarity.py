@@ -457,7 +457,7 @@ def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
+def _ivf_trained_centroids(emb: DataFrame, k_lists: int = K_LISTS) -> DataFrame:
     """One Lloyd step of rounded-mean k-means over a TRAINING SAMPLE:
     deterministic seed vectors -> assign every sampled vector to its nearest
     seed (rounded cosine, centroid-id tiebreak) -> element-wise mean per
@@ -473,7 +473,7 @@ def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
     scan until the corpus outgrows memory (the r03 small-scale drag)."""
     seeds = emb.filter(
         (F.col("vec_id") % SEED_STRIDE == 0)
-        & (F.col("vec_id") < K_LISTS * SEED_STRIDE)
+        & (F.col("vec_id") < k_lists * SEED_STRIDE)
     ).select(
         (F.col("vec_id") / SEED_STRIDE).cast("int").alias("cid"),
         F.col("embedding").alias("ce"),
@@ -493,7 +493,12 @@ def _ivf_trained_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k_lists: int = K_LISTS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
     """IVF ANN — the classic 10^10-vector scale path (coarse quantizer +
     inverted lists, the structure under FAISS IVF indexes): train K_LISTS
     centroids (one rounded-mean Lloyd step from deterministic seeds),
@@ -508,7 +513,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are localCheckpointed so the list join never self-joins shared
     computed lineage (the repo's dropped-row-flake policy)."""
     emb = _emb(spark, sf_dir)
-    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb))
+    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb, k_lists))
 
     # inverted lists: corpus -> nearest trained centroid (max_by hash agg,
     # one streamed corpus pass, list id the only downstream shuffle key)
@@ -524,7 +529,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(trained))
         .select("query_id", "qe", "cid", _cos4(F.col("qe"), F.col("ce")).alias("cos"))
         .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= NPROBE)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qe", "cid")
     )
     probe = tracked_local_checkpoint(probe)
@@ -630,7 +635,12 @@ def _ivf_topk_sql() -> str:
     """
 
 
-def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_pairs_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k_lists: int = K_LISTS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
     """ANN twin of emb_neardup_pairs — the 100x-scale path: candidates from
     the trained IVF coarse quantizer (each vector replicated into its
     NPROBE=2 nearest lists; a pair is a candidate iff the two vectors share
@@ -656,7 +666,7 @@ def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment sets K from corpus size, which also caps the collect_list
     row under Spark's 2 GB array limit."""
     emb = _emb(spark, sf_dir)
-    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb))
+    trained = tracked_local_checkpoint(_ivf_trained_centroids(emb, k_lists))
 
     # per-vector prep ONCE: double-cast components + the vector's norm —
     # every candidate pair then costs one dot and one division instead of
@@ -689,7 +699,7 @@ def q_neardup_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 1,
-                NPROBE,
+                nprobe,
             ).alias("top"),
             F.first("ed").alias("ed"),
             F.first("nrm").alias("nrm"),
