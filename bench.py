@@ -336,7 +336,7 @@ def run_bench(sf_dir: str = SF_DIR, cpus: int = CPUS, crawl_urls: int = CRAWL_UR
             reps.append(round(time.perf_counter() - t0, 3))
         all_seconds[name] = reps
         timings[name] = min(reps)
-    from job_crawler_spark.plans.similarity import release_checkpoints
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
 
     for name in EXTRA:
         # iterative queries (dup_clusters) run work at construction time —
