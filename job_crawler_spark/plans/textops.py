@@ -349,6 +349,83 @@ _DOC_SPLIT_SQL = """
 """
 
 
+# per-mille keep rates for the stratified training-mix sample; languages
+# absent from the map keep SAMPLE_DEFAULT_PM. Spec constants of the
+# operator (both engines embed the identical table).
+SAMPLE_RATES_PM = {"en": 900, "de": 500, "fr": 500, "es": 250, "zh": 250}
+SAMPLE_DEFAULT_PM = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling — the training-mix rebalancing
+    staple: each language keeps a configured per-mille of its documents,
+    selected by md5 hash (NOT rand()), so any engine reproduces the exact
+    same sample and reruns are stable. The sampling hash uses md5 chars
+    9-16 — a window disjoint from doc_split_assign's chars 1-8 — so sample
+    membership is INDEPENDENT of train/val/test assignment (correlated
+    hashes would skew every stratum's split composition).
+
+    Scale shape: NARROW projection + one hash aggregate — the keep/drop
+    decision is per-row arithmetic inside the scan stage; no shuffle
+    before the per-language rollup. Reported per stratum: population,
+    kept count, achieved rate."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+        ).cast("long") % 1000
+    )
+    rate = F.lit(SAMPLE_DEFAULT_PM)
+    for lang, pm in SAMPLE_RATES_PM.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    kept = (bucket < rate).cast("long")
+    from job_crawler_spark.functions.compat import stable_round
+
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_rate",
+            stable_round(
+                F.col("n_kept").cast("double") / F.col("n_docs"), 4
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}"
+        for lang, pm in SAMPLE_RATES_PM.items()
+    )
+    rate = f"(CASE {cases} ELSE {SAMPLE_DEFAULT_PM} END)"
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)) "
+        "AS BIGINT) % 1000"
+    )
+    kept_rate = stable_round_sql(
+        "CAST(SUM(kept) AS DOUBLE) / COUNT(*)", 4
+    )
+    return f"""
+        WITH a AS (
+          SELECT lang,
+                 CASE WHEN {bucket} < {rate} THEN 1 ELSE 0 END AS kept
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               {kept_rate} AS kept_rate
+        FROM a GROUP BY lang ORDER BY lang
+    """
+
+
 # --- quality scoring -----------------------------------------------------------
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,10 +697,9 @@ Q_NGRAM_JACCARD_PAIRS_SQL = f"""
 """
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 seeds) + LSH banding (4x4): candidate pairs sharing any
-    band bucket. Shuffle key = (band, band_hash) — at 10^10 docs this
-    replaces the exact shingle self-join entirely.
+def _minhash_band_array():
+    """The per-doc MinHash band array Column (shared by the full-corpus and
+    the incremental pair queries — identical signatures by construction).
 
     Hashing: ONE md5 per shingle, 16 seed hashes derived as
     (h1 + i*h2) mod P (Kirsch & Mitzenmacher 2006, two hashes suffice) —
@@ -681,19 +757,33 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # nested let-bindings: shingles evaluated once -> signature evaluated
     # once -> band array; the whole MinHash is a single projection pass
-    band_array = bind_once(
+    return bind_once(
         _shingles_col(), lambda sh: F.when(F.size(sh) > 0, bind_once(sig_of(sh), bands_of))
     )
-    docs = _docs(spark, sf_dir).select("doc_id", band_array.alias("ba"))
-    # Deliberately no .persist(): the bands feed exactly ONE aggregation
-    # below, and at 10^10 docs one would never block-cache the exploded
-    # bands anyway — recomputing a narrow projection is the scale-honest
-    # trade.
-    bands = (
+
+
+def _minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_hash) rows — one per non-empty doc per band.
+    Deliberately no .persist(): the bands feed exactly ONE aggregation in
+    each consumer, and at 10^10 docs one would never block-cache the
+    exploded bands anyway — recomputing a narrow projection is the
+    scale-honest trade."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _minhash_band_array().alias("ba")
+    )
+    return (
         docs.filter(F.col("ba").isNotNull())
         .select("doc_id", F.explode("ba").alias("bb"))
         .select("doc_id", "bb.band", "bb.band_hash")
     )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 seeds) + LSH banding (4x4): candidate pairs sharing any
+    band bucket. Shuffle key = (band, band_hash) — at 10^10 docs this
+    replaces the exact shingle self-join entirely (hashing scheme:
+    _minhash_band_array)."""
+    bands = _minhash_bands_df(spark, sf_dir)
     # JOIN-FREE pair generation: aggregate each band bucket's (sorted,
     # deduped) member list, expand i<j pairs LOCALLY with higher-order
     # functions. Strictly better than the band self-join at scale — one
@@ -719,6 +809,76 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def _is_new_doc_col() -> F.Column:
+    """The 'today's ingestion batch' membership flag: doc_split_assign's
+    val+test slice (md5 chars 1-8 mod 100 >= 90, ~10% of docs) —
+    deterministic, engine-portable, disjoint hash window from the MinHash
+    signatures."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+        >= 90
+    )
+
+
+def q_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the shape a production pipeline runs
+    daily: candidate near-dup pairs where at least one side belongs to the
+    NEW batch (here the deterministic ~10% val+test slice stands in for
+    today's crawl). The corpus-vs-corpus pairs are intentionally NOT
+    regenerated: at 10^10 docs + 10^7/day ingestion you can never afford
+    corpus x corpus again, but bucket-locality makes new-vs-all cheap —
+    per-bucket fan-out is |new ∩ bucket| * |bucket| instead of |bucket|^2,
+    and buckets with no new member are dropped BEFORE pair expansion.
+
+    Output: (a, b, a_new, b_new) — the flags let the consumer route
+    new-vs-old pairs (drop the new copy) differently from new-vs-new
+    (cluster then keep one). Same signatures as q_minhash_lsh_pairs
+    (shared _minhash_band_array), so its pair set restricted to new docs
+    is exactly this query's."""
+    bands = _minhash_bands_df(spark, sf_dir).withColumn(
+        "is_new", _is_new_doc_col()
+    )
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col("doc_id").alias("d"), F.col("is_new").alias("n"))
+                )
+            ).alias("ms"),
+            F.max(F.col("is_new").cast("int")).alias("has_new"),
+        )
+        .filter((F.size("ms") > 1) & (F.col("has_new") == 1))
+    )
+    ms = F.col("ms")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["d"].alias("a"),
+                        y["d"].alias("b"),
+                        x["n"].alias("a_new"),
+                        y["n"].alias("b_new"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["a_new"] | p["b_new"],
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.a_new", "p.b_new")
         .distinct()
         .orderBy("a", "b")
     )
@@ -792,7 +952,7 @@ Q_STAR_CLUSTER_LABELS_SQL = """
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_bands_ctes() -> str:
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     P = 2147483647
     hs = (
@@ -816,18 +976,45 @@ def _minhash_sql() -> str:
         )
         for band in range(LSH_BANDS)
     )
-    return f"""
-        WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    ctes = f"""
+        d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
         h AS (SELECT doc_id, {hs} AS hs FROM d WHERE len(sh) > 0),
         s AS (SELECT doc_id, [{sig_items}] AS sig FROM h),
         bands AS (
           SELECT doc_id, unnest([{band_structs}],  recursive := true)
           FROM s
-        )
+        )"""
+    return ctes
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_minhash_bands_ctes()}
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.band_hash = y.band_hash
          AND x.doc_id < y.doc_id
+        ORDER BY a, b
+    """
+
+
+def _minhash_incremental_sql() -> str:
+    return f"""
+        WITH {_minhash_bands_ctes()},
+        nb AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 >= 90 AS is_new
+          FROM documents
+        )
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               nx.is_new AS a_new, ny.is_new AS b_new
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+        JOIN nb nx ON nx.doc_id = x.doc_id
+        JOIN nb ny ON ny.doc_id = y.doc_id
+        WHERE nx.is_new OR ny.is_new
         ORDER BY a, b
     """
 
@@ -1110,11 +1297,13 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "dup_clusters": q_dup_clusters,
     "star_cluster_labels": q_star_cluster_labels,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
+    "doc_stratified_sample": q_stratified_sample,
     "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1132,11 +1321,13 @@ ORACLES = {
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
+    "minhash_incremental_pairs": _minhash_incremental_sql(),
     "dup_clusters": _dup_clusters_sql(),
     "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
+    "doc_stratified_sample": _stratified_sample_sql(),
     "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,

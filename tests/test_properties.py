@@ -365,3 +365,32 @@ def test_neardup_ann_recall(spark):
         assert cos == exact[pair], f"cos mismatch for {pair}"
     recall = len(ann) / len(exact)
     assert recall >= 0.55, f"ANN recall {recall:.3f} ({len(ann)}/{len(exact)})"
+
+
+def test_incremental_minhash_is_full_restricted_to_new(spark):
+    """minhash_incremental_pairs must equal minhash_lsh_pairs restricted to
+    pairs with at least one NEW-batch member (shared band machinery makes
+    the signatures identical by construction; this pins it)."""
+    from job_crawler_spark.plans.textops import (
+        _is_new_doc_col,
+        q_minhash_incremental_pairs,
+        q_minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new_ids = {
+        r.doc_id
+        for r in docs.select("doc_id").withColumn("n", _is_new_doc_col())
+        .filter("n").collect()
+    }
+    full = {(r.a, r.b) for r in q_minhash_lsh_pairs(spark, sf).collect()}
+    inc = {
+        (r.a, r.b): (r.a_new, r.b_new)
+        for r in q_minhash_incremental_pairs(spark, sf).collect()
+    }
+    want = {(a, b) for (a, b) in full if a in new_ids or b in new_ids}
+    assert set(inc) == want
+    for (a, b), (a_new, b_new) in inc.items():
+        assert a_new == (a in new_ids) and b_new == (b in new_ids)
