@@ -76,6 +76,8 @@ EXTRA = [
     "doc_repetition",
     "emb_ivf_topk",
     "emb_neardup_pairs_ann",
+    "doc_stratified_sample",
+    "minhash_incremental_pairs",
 ]
 
 
