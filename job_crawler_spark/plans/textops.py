@@ -426,6 +426,149 @@ def _stratified_sample_sql() -> str:
     """
 
 
+# Benchmark-decontamination n-gram width. 4-word shingles on this corpus
+# give partial contamination (~10% of train docs share a shingle with the
+# test split) — wide enough that stop-phrase collisions don't flag
+# everything, narrow enough the check is non-vacuous at every SF. Real
+# pipelines use 8-13 (GPT-3 used 13-grams); the operator shape is identical.
+DECONTAM_NGRAM = 4
+
+
+def _ngrams_col(n: int) -> F.Column:
+    """Distinct word n-gram shingles (generalized ``_shingles_col``);
+    token array let-bound so split() runs once per row."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    def build(toks: F.Column) -> F.Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(_tokens_col(), build)
+
+
+def _ngrams_sql(n: int) -> str:
+    joins = " || ' ' || ".join(f"{_TOKENS_SQL}[i+{k}]" for k in range(n))
+    return f"""
+    CASE WHEN len({_TOKENS_SQL}) >= {n} THEN
+      list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - {n - 2}),
+        i -> {joins}))
+    ELSE [] END
+"""
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data staple (GPT-3 appendix
+    C / Llama practice): flag train/val documents sharing any word n-gram
+    with the held-out test split, so evaluation numbers aren't inflated by
+    memorized eval text. The test split (md5 chars 1-8, the
+    ``doc_split_assign`` hash) stands in for the benchmark suite.
+
+    Scale shape: the eval shingle set is benchmark-sized (millions of
+    n-grams, MBs) -> built once, deduped, BROADCAST. The 100-TB corpus side
+    is a narrow explode feeding a broadcast hash join — the corpus never
+    shuffles on shingle; only SURVIVING overlap rows (rare) reach the
+    per-doc hash aggregate. Reports contaminated docs only:
+    (doc_id, split, n_overlap)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("b"),
+        _ngrams_col(DECONTAM_NGRAM).alias("sh"),
+    )
+    eval_shingles = (
+        docs.filter(F.col("b") >= 95)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = docs.filter(F.col("b") < 95).select(
+        "doc_id",
+        F.when(F.col("b") < 90, "train").otherwise("val").alias("split"),
+        F.explode("sh").alias("shingle"),
+    )
+    return (
+        train.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+_DOC_DECONTAM_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {_DECONTAM_BUCKET_SQL} AS b,
+             {_ngrams_sql(DECONTAM_NGRAM)} AS sh
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM d WHERE b >= 95),
+    tr AS (
+      SELECT doc_id, CASE WHEN b < 90 THEN 'train' ELSE 'val' END AS split,
+             unnest(sh) AS shingle
+      FROM d WHERE b < 95
+    )
+    SELECT doc_id, split, COUNT(*) AS n_overlap
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY doc_id, split ORDER BY doc_id
+"""
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p50/p90/p99 of n_chars,
+    linear interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the definition; stable-rounded to absorb last-ulp float noise).
+    The corpus-profiling read that sizes truncation and batch budgets.
+
+    Scale note: exact percentile sorts each group's values — fine for
+    bounded groups (languages). At 10^10 rows per group the approximate
+    sketch (``percentile_approx``, t-digest) is the swap-in; it is not
+    oracle-exact so the exact form is what's gated here."""
+    from job_crawler_spark.functions.compat import stable_round
+
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                stable_round(
+                    F.percentile(F.col("n_chars"), F.lit(p)), 4
+                ).alias(name)
+                for name, p in qs.items()
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+def _doc_length_quantiles_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    cols = ", ".join(
+        f"{stable_round_sql(f'quantile_cont(n_chars, {p})', 4)} AS {name}"
+        for name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    )
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs, {cols}
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
 # --- quality scoring -----------------------------------------------------------
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1447,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
     "doc_stratified_sample": q_stratified_sample,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1328,6 +1473,8 @@ ORACLES = {
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
+    "doc_decontaminate": _DOC_DECONTAM_SQL,
+    "doc_length_quantiles": _doc_length_quantiles_sql(),
     "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,

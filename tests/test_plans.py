@@ -169,3 +169,24 @@ def test_star_contraction_phases_are_join_free(spark):
     for phase in (_large_star, _small_star):
         plan = explain_str(phase(sym))
         assert "Join" not in plan, (phase.__name__, plan)
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, queries):
+    """The benchmark-side shingle set is small by construction (eval suites
+    are MBs, the corpus is TBs) — it must BUILD the broadcast hash join, so
+    the 100-TB train side never shuffles on shingle. Exactly two width-
+    bounded shuffles: the eval distinct and the per-doc overlap count."""
+    plan = explain_str(queries["doc_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_hash_exchanges(plan) == 2, plan
+
+
+def test_length_quantiles_partial_agg_and_pruned_scan(spark, queries):
+    """Exact percentiles must still combine map-side (partial_percentile
+    buffers, one shuffle on lang) and prune the documents scan to the two
+    columns the profile reads."""
+    plan = explain_str(queries["doc_length_quantiles"](spark, SF_DIR))
+    assert "partial_percentile" in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan

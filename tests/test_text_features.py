@@ -145,3 +145,20 @@ def test_spark_matches_python_oracle(spark):
         for k in ("tech_stack", "experience_level", "remote_policy",
                   "description_length", "has_benefits"):
             assert g[k] == want[k], (k, job)
+
+
+def test_ngram_shingles_width_short_doc_and_dedup(spark):
+    """Generalized word-n-gram shingles (decontamination): exact window
+    positions, docs shorter than n yield an empty set (not NULL — the
+    overlap join must simply drop them), repeats dedup within a doc."""
+    from job_crawler_spark.plans.textops import _ngrams_col
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c"), (3, "x y z w x y z w")],
+        "doc_id long, text string",
+    ).orderBy("doc_id")
+    rows = df.select("doc_id", _ngrams_col(4).alias("sh")).collect()
+    got = {r.doc_id: r.sh for r in rows}
+    assert got[1] == ["a b c d", "b c d e"]
+    assert got[2] == []
+    assert got[3] == ["x y z w", "y z w x", "z w x y", "w x y z"]
