@@ -78,6 +78,10 @@ EXTRA = [
     "emb_neardup_pairs_ann",
     "doc_stratified_sample",
     "minhash_incremental_pairs",
+    "doc_decontaminate",
+    "doc_length_quantiles",
+    "lang_mixture_weights",
+    "doc_pack_stats",
 ]
 
 

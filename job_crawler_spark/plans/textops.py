@@ -569,6 +569,150 @@ def _doc_length_quantiles_sql() -> str:
     """
 
 
+# Temperature-sampling exponent for the multilingual mixture (XLM-R /
+# mT5 practice: alpha in [0.2, 0.7] flattens the head languages; 0.3 is
+# the common published default).
+MIXTURE_ALPHA = 0.3
+
+
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights — the multilingual
+    data-mixture staple (XLM-R, mT5): share p_i = n_i/N per language,
+    weight w_i = p_i^alpha / sum_j p_j^alpha, and the upsample factor
+    w_i/p_i a sampler applies per language to hit the target mixture.
+
+    Scale shape: ONE hash aggregate collapses the 100-TB corpus to |langs|
+    rows; both normalizing window sums run over that tiny post-aggregation
+    frame (never the corpus), so the single-partition window is free.
+    Doubles are stable-rounded to 6 digits: pow() and the 5-term window
+    sums may differ from the oracle in the last ulp."""
+    from pyspark.sql import Window
+
+    from job_crawler_spark.functions.compat import stable_round
+
+    w = Window.partitionBy()
+    counts = (
+        _docs(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    shared = counts.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("p"),
+    )
+    # pow-of-window staged through a projection: neither engine allows a
+    # window expression inside another window function's argument.
+    powed = shared.select(
+        "lang", "n_docs", "p", F.pow("p", F.lit(MIXTURE_ALPHA)).alias("pa")
+    )
+    weighted = powed.select(
+        "lang", "n_docs", "p", (F.col("pa") / F.sum("pa").over(w)).alias("w")
+    )
+    return weighted.select(
+        "lang",
+        "n_docs",
+        stable_round(F.col("p"), 6).alias("share"),
+        stable_round(F.col("w"), 6).alias("weight"),
+        stable_round(F.col("w") / F.col("p"), 6).alias("upsample"),
+    ).orderBy("lang")
+
+
+def _lang_mixture_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    return f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        s AS (SELECT lang, n_docs, n_docs / SUM(n_docs) OVER () AS p FROM c),
+        t AS (SELECT lang, n_docs, p, pow(p, {MIXTURE_ALPHA}) AS pa FROM s),
+        u AS (SELECT lang, n_docs, p, pa / SUM(pa) OVER () AS w FROM t)
+        SELECT lang, n_docs,
+               {stable_round_sql('p', 6)} AS share,
+               {stable_round_sql('w', 6)} AS weight,
+               {stable_round_sql('w / p', 6)} AS upsample
+        FROM u ORDER BY lang
+    """
+
+
+# Context-window length for packing stats. Real pipelines pack 2k-8k-token
+# windows; 64 is sized so the per-doc ceil is non-vacuous on the synthetic
+# corpus (docs run ~25-80 whitespace tokens). The operator shape — narrow
+# token count + one hash aggregate — is identical at any L.
+PACK_SEQ_LEN = 64
+
+
+def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing profile per language: how many L-token
+    training sequences the corpus yields under per-document packing
+    (ceil(n_tok/L) — each doc starts a fresh sequence, the deterministic
+    upper bound real greedy packers improve on), plus the padding fraction
+    1 - tokens/(seqs*L) that motivates cross-doc packing at all.
+
+    Scale shape: narrow per-row token count (split stays in codegen), one
+    map-side-combined hash aggregate on lang; integer sums are exact, the
+    one derived double is stable-rounded."""
+    from job_crawler_spark.functions.compat import stable_round
+
+    n_tok = (
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(_tokens_col()))
+        .cast("long")
+    )
+    seqs = F.ceil(n_tok / F.lit(PACK_SEQ_LEN)).cast("long")
+    per_doc = _docs(spark, sf_dir).select(
+        "lang", n_tok.alias("n_tok"), seqs.alias("seqs")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("seqs").alias("n_seqs"),
+        F.max("seqs").alias("max_doc_seqs"),
+    )
+    pad = F.when(
+        F.col("n_seqs") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        1.0 - F.col("total_tokens") / (F.col("n_seqs") * PACK_SEQ_LEN)
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_seqs",
+        "max_doc_seqs",
+        stable_round(pad, 6).alias("pad_frac"),
+    ).orderBy("lang")
+
+
+def _doc_pack_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    L = PACK_SEQ_LEN
+    pad = stable_round_sql(
+        f"1.0 - total_tokens / (n_seqs * {L})", 6
+    )
+    return f"""
+        WITH d AS (
+          SELECT lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({_TOKENS_SQL}) END AS n_tok
+          FROM documents
+        ),
+        p AS (
+          SELECT lang, n_tok,
+                 CAST(ceil(n_tok / {L}) AS BIGINT) AS seqs
+          FROM d
+        ),
+        a AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+                 MAX(seqs) AS max_doc_seqs
+          FROM p GROUP BY lang
+        )
+        SELECT lang, n_docs, total_tokens, n_seqs, max_doc_seqs,
+               CASE WHEN n_seqs = 0 THEN NULL ELSE {pad} END AS pad_frac
+        FROM a ORDER BY lang
+    """
+
+
 # --- quality scoring -----------------------------------------------------------
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1593,8 @@ QUERIES = {
     "doc_stratified_sample": q_stratified_sample,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "lang_mixture_weights": q_lang_mixture_weights,
+    "doc_pack_stats": q_doc_pack_stats,
     "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1475,6 +1621,8 @@ ORACLES = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_decontaminate": _DOC_DECONTAM_SQL,
     "doc_length_quantiles": _doc_length_quantiles_sql(),
+    "lang_mixture_weights": _lang_mixture_sql(),
+    "doc_pack_stats": _doc_pack_sql(),
     "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,

@@ -190,3 +190,26 @@ def test_length_quantiles_partial_agg_and_pruned_scan(spark, queries):
     assert "partial_percentile" in plan, plan
     assert n_hash_exchanges(plan) == 1, plan
     assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan, plan
+
+
+def test_mixture_weights_window_is_post_aggregation(spark, queries):
+    """The temperature-mixture normalizing sums are single-partition
+    windows — legal ONLY because they run over the |langs|-row aggregate,
+    never the corpus. Pin the order: exactly one corpus-collapsing hash
+    aggregate below the first SinglePartition exchange, and the documents
+    scan reads just the lang column."""
+    plan = explain_str(queries["lang_mixture_weights"](spark, SF_DIR))
+    assert "ReadSchema: struct<lang:string>" in plan, plan
+    assert plan.count("SinglePartition") >= 1, plan
+    # corpus aggregate happens before (deeper than) the window exchange
+    agg_pos = plan.index("HashAggregate")
+    assert "Scan parquet" in plan[agg_pos:], plan
+
+
+def test_pack_stats_single_agg_map_side_combine(spark, queries):
+    """Packing profile: narrow token count + ONE lang-keyed shuffle with
+    partial aggregation (partial_sum/partial_max visible map-side)."""
+    plan = explain_str(queries["doc_pack_stats"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
