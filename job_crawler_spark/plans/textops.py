@@ -463,12 +463,13 @@ def _ngrams_sql(n: int) -> str:
 """
 
 
-def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate(docs: DataFrame, n: int = DECONTAM_NGRAM) -> DataFrame:
     """Benchmark decontamination — the training-data staple (GPT-3 appendix
     C / Llama practice): flag train/val documents sharing any word n-gram
     with the held-out test split, so evaluation numbers aren't inflated by
     memorized eval text. The test split (md5 chars 1-8, the
     ``doc_split_assign`` hash) stands in for the benchmark suite.
+    ``docs`` needs (doc_id, text).
 
     Scale shape: the eval shingle set is benchmark-sized (millions of
     n-grams, MBs) -> built once, deduped, BROADCAST. The 100-TB corpus side
@@ -481,10 +482,10 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
         ).cast("long") % 100
     )
-    docs = _docs(spark, sf_dir).select(
+    docs = docs.select(
         "doc_id",
         bucket.alias("b"),
-        _ngrams_col(DECONTAM_NGRAM).alias("sh"),
+        _ngrams_col(n).alias("sh"),
     )
     eval_shingles = (
         docs.filter(F.col("b") >= 95)
@@ -502,6 +503,10 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .orderBy("doc_id")
     )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(_docs(spark, sf_dir))
 
 
 _DECONTAM_BUCKET_SQL = (

@@ -162,3 +162,35 @@ def test_ngram_shingles_width_short_doc_and_dedup(spark):
     assert got[1] == ["a b c d", "b c d e"]
     assert got[2] == []
     assert got[3] == ["x y z w", "y z w x", "z w x y", "w x y z"]
+
+
+def test_decontaminate_flags_shared_shingles_only(spark):
+    """Semantics beyond the oracle: a train doc sharing one 4-gram with an
+    eval-bucket doc is flagged (n_overlap counts distinct shared shingles),
+    a doc with the same WORDS but no common 4-gram window is not, and the
+    val split is labeled. Bucket membership is the md5-prefix hash, computed
+    independently here in Python."""
+    import hashlib
+
+    from job_crawler_spark.plans.textops import decontaminate
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    eval_id = next(i for i in range(1000) if bucket(i) >= 95)
+    val_id = next(i for i in range(1000) if 90 <= bucket(i) < 95)
+    hit, miss = [i for i in range(1000) if bucket(i) < 90][:2]
+    leak = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (eval_id, f"held out text {leak} end"),
+            (hit, f"prefix {leak} suffix words"),
+            (miss, "beta gamma delta alpha nothing here"),
+            (val_id, leak),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.split): r.n_overlap for r in decontaminate(df).collect()
+    }
+    assert got == {(hit, "train"): 1, (val_id, "val"): 1}
