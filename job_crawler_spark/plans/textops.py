@@ -661,9 +661,12 @@ def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(_tokens_col()))
         .cast("long")
     )
-    seqs = F.ceil(n_tok / F.lit(PACK_SEQ_LEN)).cast("long")
-    per_doc = _docs(spark, sf_dir).select(
-        "lang", n_tok.alias("n_tok"), seqs.alias("seqs")
+    # seqs staged off the projected column so the tokenizer expression
+    # appears once in the plan, not re-derived inside the ceil
+    per_doc = _docs(spark, sf_dir).select("lang", n_tok.alias("n_tok")).select(
+        "lang",
+        "n_tok",
+        F.ceil(F.col("n_tok") / F.lit(PACK_SEQ_LEN)).cast("long").alias("seqs"),
     )
     agg = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
