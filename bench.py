@@ -82,6 +82,7 @@ EXTRA = [
     "doc_length_quantiles",
     "lang_mixture_weights",
     "doc_pack_stats",
+    "dup_passages",
 ]
 
 

@@ -574,6 +574,46 @@ def _doc_length_quantiles_sql() -> str:
     """
 
 
+DUP_PASSAGE_TOPK = 50
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage mining (Lee et al. 2021, "Deduplicating Training
+    Data": exact-substring dedup surfaces verbatim passages repeated across
+    documents): the top-k word n-gram shingles by cross-document frequency.
+    At fixed n this is the bounded-window view of suffix-array substring
+    dedup — the report an operator reviews before picking a removal
+    threshold.
+
+    Scale shape: narrow per-doc distinct-shingle explode -> ONE map-side-
+    combined count keyed on shingle -> >=2-docs filter ->
+    TakeOrderedAndProject (per-partition top-k, no global sort
+    materializes). Ties broken deterministically by (n_docs DESC,
+    shingle)."""
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_ngrams_col(DECONTAM_NGRAM)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(DUP_PASSAGE_TOPK)
+    )
+
+
+def _dup_passages_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_ngrams_sql(DECONTAM_NGRAM)} AS sh FROM documents
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM d)
+        SELECT shingle, COUNT(*) AS n_docs
+        FROM e GROUP BY shingle HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, shingle LIMIT {DUP_PASSAGE_TOPK}
+    """
+
+
 # Temperature-sampling exponent for the multilingual mixture (XLM-R /
 # mT5 practice: alpha in [0.2, 0.7] flattens the head languages; 0.3 is
 # the common published default).
@@ -1603,6 +1643,7 @@ QUERIES = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "lang_mixture_weights": q_lang_mixture_weights,
     "doc_pack_stats": q_doc_pack_stats,
+    "dup_passages": q_dup_passages,
     "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1631,6 +1672,7 @@ ORACLES = {
     "doc_length_quantiles": _doc_length_quantiles_sql(),
     "lang_mixture_weights": _lang_mixture_sql(),
     "doc_pack_stats": _doc_pack_sql(),
+    "dup_passages": _dup_passages_sql(),
     "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,

@@ -213,3 +213,13 @@ def test_pack_stats_single_agg_map_side_combine(spark, queries):
     assert n_hash_exchanges(plan) == 1, plan
     assert "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_dup_passages_topk_no_global_sort(spark, queries):
+    """Passage mining must end in TakeOrderedAndProject (per-partition
+    top-k) over ONE map-side-combined shingle count — never a global sort
+    of every distinct shingle in a 100-TB corpus."""
+    plan = explain_str(queries["dup_passages"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_count" in plan, plan

@@ -194,3 +194,25 @@ def test_decontaminate_flags_shared_shingles_only(spark):
         (r.doc_id, r.split): r.n_overlap for r in decontaminate(df).collect()
     }
     assert got == {(hit, "train"): 1, (val_id, "val"): 1}
+
+
+def test_length_quantiles_approx_swapin(spark):
+    """The gated doc_length_quantiles is exact (oracle-comparable); its
+    docstring names percentile_approx as the 10^10-rows-per-group swap-in.
+    Pin that the swap-in is actually close: t-digest estimates at accuracy
+    10000 land within 2% of the exact per-language median and 5% at p99
+    (approx returns an actual element, no interpolation — on a few-hundred-
+    row group the p99 gap is one tail element — so this runs at sf0.01,
+    ~2000 docs/language)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    both = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("exact50"),
+        F.percentile(F.col("n_chars"), F.lit(0.99)).alias("exact99"),
+        F.percentile_approx(F.col("n_chars"), F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx(F.col("n_chars"), F.lit(0.99), F.lit(10000)).alias("a99"),
+    )
+    for r in both.collect():
+        assert abs(r.a50 - r.exact50) <= 0.02 * r.exact50, r
+        assert abs(r.a99 - r.exact99) <= 0.05 * r.exact99, r
