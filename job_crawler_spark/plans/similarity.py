@@ -34,6 +34,7 @@ from job_crawler_spark.operators.checkpoints import (  # noqa: F401 (re-export)
 N_QUERIES = 20       # query vectors for top-k demos
 TOP_K = 5
 NEARDUP_TAU = 0.35   # driver embeddings are near-orthogonal (max cos ~0.48)
+NEARDUP_BLOCKS = 4   # sub-blocks per IVF list for tiled pair expansion
 SIGN_BITS = 4        # LSH bucket bits -> 16 buckets
 
 
@@ -658,13 +659,21 @@ def q_neardup_pairs_ann(
     list size ~ n*NPROBE/K), never a self-join over shared computed
     lineage.
 
-    Scale caveat (honest): per-list work/memory is O((n*NPROBE/K)^2) and
-    each list evaluates in one task, so the STRUCTURE only holds at scale
-    if K_LISTS grows with the corpus (FAISS practice: K ~ sqrt(n), keeping
-    lists ~sqrt(n) and parallelism = K). K is pinned at 8 here because the
-    DuckDB oracle must reproduce the exact trained quantizer; a production
-    deployment sets K from corpus size, which also caps the collect_list
-    row under Spark's 2 GB array limit."""
+    Within a list the i<j enumeration is BLOCKED (classic tiled n^2):
+    members hash into NEARDUP_BLOCKS sub-blocks per list, the blocks of a
+    list join pairwise on the list id (b1 <= b2, shuffle-hash over the
+    checkpointed block frame — never shared live lineage), and each
+    (b1, b2) combo expands either i<j (diagonal) or full cross
+    (off-diagonal) in its own task. Blocking partitions the exact same
+    pair enumeration — the emitted set and cosines are bit-identical to
+    the unblocked form — but caps per-task work/memory at
+    O((list/B)^2)/O(list/B) instead of O(list^2)/O(list) and lifts
+    parallelism from K to K*B*(B+1)/2, so K no longer has to grow with
+    the corpus to keep single tasks (and the collect_list row, 2 GB
+    array cap) bounded; FAISS-style K ~ sqrt(n) remains the knob that
+    bounds TOTAL candidate work. Data amplification through the block
+    join is (B+1)x the list payload — second-order next to the pair
+    compute it spreads."""
     emb = _emb(spark, sf_dir)
     trained = tracked_local_checkpoint(_ivf_trained_centroids(emb, k_lists))
 
@@ -706,8 +715,11 @@ def q_neardup_pairs_ann(
         )
         .select("vec_id", "ed", "nrm", F.explode("top.cid").alias("cid"))
     )
-    members = (
-        assigned.groupBy("cid")
+    blocks = tracked_local_checkpoint(
+        assigned.withColumn(
+            "blk", F.pmod(F.hash("vec_id"), F.lit(NEARDUP_BLOCKS))
+        )
+        .groupBy("cid", "blk")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -719,9 +731,24 @@ def q_neardup_pairs_ann(
                 )
             ).alias("vs")
         )
-        .filter(F.size("vs") > 1)
     )
-    vs = F.col("vs")
+    # block-pair tasks: diagonal (b1 == b2) expands i<j inside one sorted
+    # block; off-diagonal (b1 < b2) expands the full cross of two blocks.
+    # Equi-join on the list id over the CHECKPOINTED frame (materialized
+    # RDD on both sides — the shared-live-lineage self-join hazard the
+    # minhash rewrite documented does not apply), shuffle-hash hinted so
+    # no sort ever materializes.
+    combos = (
+        blocks.select("cid", F.col("blk").alias("b1"), F.col("vs").alias("vs1"))
+        .join(
+            blocks.select(
+                "cid", F.col("blk").alias("b2"), F.col("vs").alias("vs2")
+            ).hint("shuffle_hash"),
+            "cid",
+        )
+        .filter(F.col("b1") <= F.col("b2"))
+    )
+    vs1, vs2 = F.col("vs1"), F.col("vs2")
 
     def pair_cos(x: F.Column, y: F.Column) -> F.Column:
         dot = F.aggregate(
@@ -731,19 +758,26 @@ def q_neardup_pairs_ann(
         )
         return stable_round(dot / (x["n"] * y["n"]), 4)
 
-    # i<j expansion emits SCALAR (a, b, cos) structs — the cosine is
-    # computed in place and the tau filter applied before the explode, so
-    # neither full embeddings nor sub-threshold pairs are ever materialized
-    # in the expanded array (the first cut copied both vectors into every
-    # candidate struct: ~100 MB single rows and a 10x slowdown at sf0.1)
+    # expansion emits SCALAR (a, b, cos) structs — the cosine is computed
+    # in place and the tau filter applied before the explode, so neither
+    # full embeddings nor sub-threshold pairs are ever materialized in the
+    # expanded array (the first cut copied both vectors into every
+    # candidate struct: ~100 MB single rows and a 10x slowdown at sf0.1).
+    # least/greatest keep (a, b) ordered for off-diagonal combos, where the
+    # two blocks' sort orders say nothing about cross-block id order; the
+    # cosine is direction-independent (same element order in the zip).
     pair_structs = F.filter(
         F.flatten(
             F.transform(
-                vs,
+                vs1,
                 lambda x, i: F.transform(
-                    F.slice(vs, i + F.lit(2), F.size(vs)),
+                    F.when(
+                        F.col("b1") == F.col("b2"),
+                        F.slice(vs2, i + F.lit(2), F.size(vs2)),
+                    ).otherwise(vs2),
                     lambda y: F.struct(
-                        x["v"].alias("a"), y["v"].alias("b"),
+                        F.least(x["v"], y["v"]).alias("a"),
+                        F.greatest(x["v"], y["v"]).alias("b"),
                         pair_cos(x, y).alias("cos"),
                     ),
                 ),
@@ -752,14 +786,14 @@ def q_neardup_pairs_ann(
         lambda p: p["cos"] >= NEARDUP_TAU,
     )
     out = (
-        members.select(F.explode(pair_structs).alias("p"))
+        combos.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b", "p.cos")
         # a pair sharing BOTH probe lists is generated twice (same cos —
         # deterministic arithmetic), dedup before emitting
         .distinct()
         .orderBy("a", "b")
     )
-    out._graft_checkpoints = [trained]
+    out._graft_checkpoints = [trained, blocks]
     return out
 
 

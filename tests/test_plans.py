@@ -79,18 +79,22 @@ def test_cosine_topk_broadcasts_query_side(spark, queries):
     assert "Broadcast" in plan, plan
 
 
-def test_neardup_ann_is_broadcast_agg_no_selfjoin(spark, queries):
-    """The near-dup ANN scale shape: K centroids broadcast to the corpus
-    scan, top-2 list assignment as a hash AGGREGATE (no vec_id window
-    sort), pair generation join-free (bucket-local expansion — never a
-    SortMergeJoin over shared lineage), and exactly three width-bounded
-    shuffles: vec_id agg, cid agg, final distinct."""
+def test_neardup_ann_is_blocked_shuffle_hash_no_selfjoin(spark, queries):
+    """The near-dup ANN scale shape after the tiled-n^2 rewrite: the
+    (cid, blk) block frame is localCheckpointed (broadcast assignment +
+    both aggregations execute once, behind the checkpoint), pair
+    generation is a ShuffledHashJoin of the MATERIALIZED block frame with
+    itself on the list id (never a SortMergeJoin, never shared live
+    lineage), the b1 <= b2 triangle filter rides the join, no window
+    anywhere, and the visible plan holds exactly three width-bounded hash
+    shuffles: the two join sides plus the final distinct."""
     from job_crawler_spark.plans.similarity import release_checkpoints
 
     df = queries["emb_neardup_pairs_ann"](spark, SF_DIR)
     plan = explain_str(df)
     release_checkpoints(df)
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "(b1" in plan and "b2" in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert n_hash_exchanges(plan) == 3, plan
