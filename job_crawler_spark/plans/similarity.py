@@ -34,7 +34,7 @@ from job_crawler_spark.operators.checkpoints import (  # noqa: F401 (re-export)
 N_QUERIES = 20       # query vectors for top-k demos
 TOP_K = 5
 NEARDUP_TAU = 0.35   # driver embeddings are near-orthogonal (max cos ~0.48)
-NEARDUP_BLOCKS = 4   # sub-blocks per IVF list for tiled pair expansion
+NEARDUP_BLOCKS = 8   # sub-blocks per IVF list for tiled pair expansion
 SIGN_BITS = 4        # LSH bucket bits -> 16 buckets
 
 
