@@ -83,6 +83,8 @@ EXTRA = [
     "lang_mixture_weights",
     "doc_pack_stats",
     "dup_passages",
+    "dup_keep_canonical",
+    "doc_unigram_freq",
 ]
 
 

@@ -255,6 +255,104 @@ def _tfidf_sql() -> str:
     """
 
 
+def q_doc_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram frequency signals per document — the KenLM-filter
+    surrogate a training pipeline runs before it can afford a real LM:
+    mean corpus frequency of the document's tokens and the fraction of
+    below-mean-frequency ("rare") tokens. Documents dominated by rare
+    tokens are the classic boilerplate/garbage tail (C4/Gopher public
+    recipes filter on exactly this family of signal).
+
+    Kept exact-rational on purpose (the tfidf_top_terms rationale): a
+    true avg-log-probability needs ln(), which differs in the last ulp
+    between libm and the JVM and would flake the value-hash gate. Every
+    number here derives from integer counts — rare is the integer
+    comparison cf * vocab_size < total_tokens (i.e. cf < mean cf without
+    ever forming the mean) — and the two emitted doubles are fixed-order
+    divisions of exact integers, bit-identical across engines.
+
+    Scale shape: one vocab aggregation (output bounded by vocab size —
+    Heaps' law, << corpus), vocab and the 1-row scalar frame broadcast
+    back to the streamed token explode, per-doc aggregation map-side
+    combines. No driver collect; two bounded-width shuffles total. The
+    vocab frame is localCheckpointed: both its consumers (the broadcast
+    join and the scalar agg) read the materialized vocab instead of each
+    re-running the corpus-wide token aggregation — 2 corpus scans total,
+    not 3."""
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import tracked_local_checkpoint
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens_col()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = tracked_local_checkpoint(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    )
+    # vocab size + total token count as a 1-row scalar agg over the
+    # (already tiny, materialized) vocab frame — broadcast, no driver
+    # round trip
+    scalars = vocab.agg(
+        F.count(F.lit(1)).alias("v_size"),
+        F.sum("cf").alias("n_total"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cf").alias("sum_cf"),
+            F.sum(
+                (F.col("cf") * F.col("v_size") < F.col("n_total")).cast("long")
+            ).alias("n_rare"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_tok",
+        "sum_cf",
+        "n_rare",
+        stable_round(
+            (F.col("sum_cf") / F.col("n_tok")) / F.col("n_total"), 9
+        ).alias("mean_tok_freq"),
+        stable_round(F.col("n_rare") / F.col("n_tok"), 6).alias("rare_frac"),
+    ).orderBy("doc_id")
+    out._graft_checkpoints = [vocab]
+    return out
+
+
+def _doc_unigram_freq_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    mean_freq = stable_round_sql("(sum_cf / CAST(n_tok AS DOUBLE)) / n_total", 9)
+    rare_frac = stable_round_sql("n_rare / CAST(n_tok AS DOUBLE)", 6)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        v AS (SELECT term, COUNT(*) AS cf FROM tf GROUP BY term),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size,
+                     CAST(SUM(cf) AS BIGINT) AS n_total FROM v),
+        d AS (
+          SELECT doc_id, COUNT(*) AS n_tok,
+                 CAST(SUM(cf) AS BIGINT) AS sum_cf,
+                 CAST(SUM(CASE WHEN cf * s.v_size < s.n_total
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                 MAX(s.n_total) AS n_total
+          FROM tf JOIN v USING (term) CROSS JOIN s
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tok, sum_cf, n_rare,
+               {mean_freq} AS mean_tok_freq,
+               {rare_frac} AS rare_frac
+        FROM d ORDER BY doc_id
+    """
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, public
     paper): per-doc distinct-token ratio and top-term share — the rules
@@ -1254,6 +1352,86 @@ def _dup_clusters_sql() -> str:
     """
 
 
+def q_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: which document survives each near-dup cluster.
+    dup_clusters labels documents; a real pipeline must then pick ONE
+    representative per cluster and drop the rest. Policy: highest
+    quality_score wins (the quality_scores heuristics), ties and unscored
+    (empty-text) documents break to the lowest doc_id — so the output is a
+    total, deterministic keep/drop verdict per document.
+
+    Scale shape: cluster labels from the LSH+CC pipeline (its own audited
+    shape), one doc_id-keyed join against the quality frame, then ONE
+    shuffle on cluster_id: both the cluster size and the keeper are
+    whole-partition window AGGREGATES over the same spec (keeper = min of
+    a (neg_quality, doc_id) struct — no rank sort, no agg+rejoin). The
+    quality double is fixed-order rational arithmetic (gate-proven in
+    quality_scores), so the keeper comparison is bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    from job_crawler_spark.operators.dedup import connected_components
+
+    edges = q_minhash_lsh_pairs(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    cc = connected_components(edges, nodes)
+    quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    j = cc.join(quality, "doc_id", "left")
+    w = Window.partitionBy("cluster_id")
+    keeper = F.min(
+        F.struct(
+            (-F.coalesce(F.col("quality_score"), F.lit(-1.0))).alias("nq"),
+            F.col("doc_id").alias("d"),
+        )
+    ).over(w)
+    out = (
+        j.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            "quality_score",
+            (F.col("doc_id") == keeper["d"]).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+    out._graft_checkpoints = getattr(cc, "_graft_checkpoints", [])
+    return out
+
+
+def _dup_keep_canonical_sql() -> str:
+    pairs = _minhash_sql()
+    quality = _quality_scores_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b
+                  FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+               FROM reach GROUP BY node),
+        q AS (SELECT doc_id, quality_score FROM ({quality})),
+        j AS (SELECT cc.doc_id, cc.cluster_id, q.quality_score
+              FROM cc LEFT JOIN q ON cc.doc_id = q.doc_id),
+        k AS (
+          SELECT *,
+                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size,
+                 FIRST_VALUE(doc_id) OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY COALESCE(quality_score, -1.0) DESC, doc_id ASC
+                 ) AS keeper
+          FROM j
+        )
+        SELECT doc_id, cluster_id, cluster_size, quality_score,
+               doc_id = keeper AS kept
+        FROM k ORDER BY doc_id
+    """
+
+
 def q_star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-chain connected components via STAR CONTRACTION (Kiveris
     large-star/small-star), driver-gated: chain edges link consecutive
@@ -1634,7 +1812,9 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "dup_clusters": q_dup_clusters,
+    "dup_keep_canonical": q_dup_keep_canonical,
     "star_cluster_labels": q_star_cluster_labels,
+    "doc_unigram_freq": q_doc_unigram_freq,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
@@ -1663,7 +1843,9 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_sql(),
     "minhash_incremental_pairs": _minhash_incremental_sql(),
     "dup_clusters": _dup_clusters_sql(),
+    "dup_keep_canonical": _dup_keep_canonical_sql(),
     "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
+    "doc_unigram_freq": _doc_unigram_freq_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,

@@ -227,3 +227,36 @@ def test_dup_passages_topk_no_global_sort(spark, queries):
     assert "TakeOrderedAndProject" in plan, plan
     assert n_hash_exchanges(plan) == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_unigram_freq_single_doc_shuffle_broadcast_vocab(spark, queries):
+    """Unigram-frequency signals: the vocab frame is checkpointed (built
+    once, bounded by vocab size) and BROADCASTS to the streamed token
+    explode; corpus totals ride as a 1-row scalar broadcast, never a
+    driver collect. The only width-bounded hash shuffle in the visible
+    plan is the per-doc aggregation, and it combines map-side."""
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
+    df = queries["doc_unigram_freq"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+
+
+def test_dup_keep_canonical_single_window_no_rank_rejoin(spark, queries):
+    """The keep/drop verdict costs ONE cluster_id shuffle: cluster size
+    and the keeper are whole-partition window aggregates over the same
+    spec (keeper = min of a (neg_quality, doc_id) struct), so the plan
+    holds exactly one Window exec and neither a row_number rank nor an
+    aggregate-plus-rejoin."""
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
+    df = queries["dup_keep_canonical"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert plan.count("Window ") == 1, plan
+    assert "row_number" not in plan, plan
