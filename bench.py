@@ -85,6 +85,7 @@ EXTRA = [
     "dup_passages",
     "dup_keep_canonical",
     "doc_unigram_freq",
+    "cluster_split_assign",
 ]
 
 

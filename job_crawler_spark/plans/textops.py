@@ -1432,6 +1432,86 @@ def _dup_keep_canonical_sql() -> str:
     """
 
 
+def _split_bucket(col: F.Column) -> F.Column:
+    """doc_split_assign's md5 bucket (chars 1-8 mod 100) over any id."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def _split_case(bucket: F.Column) -> F.Column:
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
+def q_cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so every member of a near-dup cluster lands in
+    the same split. Per-document hashing (doc_split_assign) leaks
+    near-duplicates of training documents into val/test — the classic
+    eval-inflation bug (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", documents the cross-split duplicate
+    problem). Same md5 chars 1-8 mod 100, 90/5/5 convention as
+    doc_split_assign; `moved` flags documents whose own-id hash would
+    have put them in a different split (the quantified leak fix).
+
+    Scale shape: cluster labels from the audited LSH+CC pipeline; the
+    split itself is a NARROW projection over the label frame — two md5
+    evaluations per row, no additional shuffle beyond the presentation
+    sort."""
+    from job_crawler_spark.operators.dedup import connected_components
+
+    edges = q_minhash_lsh_pairs(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    cc = connected_components(edges, nodes)
+    split = _split_case(_split_bucket(F.col("cluster_id")))
+    own = _split_case(_split_bucket(F.col("doc_id")))
+    out = cc.select(
+        "doc_id",
+        "cluster_id",
+        split.alias("split"),
+        (split != own).alias("moved"),
+    ).orderBy("doc_id")
+    out._graft_checkpoints = getattr(cc, "_graft_checkpoints", [])
+    return out
+
+
+def _cluster_split_sql() -> str:
+    pairs = _minhash_sql()
+
+    def bucket(col: str) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8))"
+            f" AS BIGINT) % 100"
+        )
+
+    def case(col: str) -> str:
+        return (
+            f"CASE WHEN {bucket(col)} < 90 THEN 'train'"
+            f" WHEN {bucket(col)} < 95 THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b
+                  FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+               FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+               {case('cluster_id')} AS split,
+               {case('cluster_id')} <> {case('doc_id')} AS moved
+        FROM cc ORDER BY doc_id
+    """
+
+
 def q_star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-chain connected components via STAR CONTRACTION (Kiveris
     large-star/small-star), driver-gated: chain edges link consecutive
@@ -1813,6 +1893,7 @@ QUERIES = {
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "dup_clusters": q_dup_clusters,
     "dup_keep_canonical": q_dup_keep_canonical,
+    "cluster_split_assign": q_cluster_split_assign,
     "star_cluster_labels": q_star_cluster_labels,
     "doc_unigram_freq": q_doc_unigram_freq,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1844,6 +1925,7 @@ ORACLES = {
     "minhash_incremental_pairs": _minhash_incremental_sql(),
     "dup_clusters": _dup_clusters_sql(),
     "dup_keep_canonical": _dup_keep_canonical_sql(),
+    "cluster_split_assign": _cluster_split_sql(),
     "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
     "doc_unigram_freq": _doc_unigram_freq_sql(),
     "tfidf_top_terms": _tfidf_sql(),

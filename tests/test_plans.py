@@ -260,3 +260,16 @@ def test_dup_keep_canonical_single_window_no_rank_rejoin(spark, queries):
     release_checkpoints(df)
     assert plan.count("Window ") == 1, plan
     assert "row_number" not in plan, plan
+
+
+def test_cluster_split_is_narrow_over_labels(spark, queries):
+    """Leakage-safe split: beyond the (audited, checkpointed) LSH+CC label
+    pipeline, the split assignment itself must be a NARROW projection —
+    no hash shuffle, no join, no window in the visible plan."""
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
+    df = queries["cluster_split_assign"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert n_hash_exchanges(plan) == 0, plan
+    assert "Join" not in plan and "Window" not in plan, plan
