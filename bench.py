@@ -86,6 +86,7 @@ EXTRA = [
     "dup_keep_canonical",
     "doc_unigram_freq",
     "cluster_split_assign",
+    "purchase_attribution",
 ]
 
 

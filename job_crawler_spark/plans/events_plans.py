@@ -257,8 +257,74 @@ Q_EVENT_PROPS_SQL = """
 """
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, the temporal operator Spark has no built-in for:
+    last-touch attribution — every purchase matched to the same user's
+    latest click at-or-before the purchase (NULL when the purchase is the
+    user's first touch). operators/asof.py implements it JOIN-FREE as a
+    union-tag + single window pass (one user_id shuffle — the
+    merge-sorted-streams shape, never the O(|l| x |r|)-per-user range
+    join); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so the two
+    implementations are independent down to the algorithm. Right-side
+    (user, ts) click duplicates resolve to the greatest event_id in both
+    engines. gap_seconds is an exact integer epoch difference."""
+    from job_crawler_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_seconds"),
+    ).orderBy("purchase_id")
+
+
+Q_PURCHASE_ATTRIBUTION_SQL = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c0 AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT user_id, MAX(click_id) AS click_id, click_ts
+      FROM c0 GROUP BY user_id, click_ts
+    )
+    SELECT p.user_id, p.purchase_id, p.ts, c.click_id, c.click_ts,
+           CAST(date_diff('second', c.click_ts, p.ts) AS BIGINT)
+               AS gap_seconds
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
+    "purchase_attribution": q_purchase_attribution,
     "json_log_lines": q_json_log_lines,
     "event_props_extract": q_event_props_extract,
     "retention_split": q_retention_split,
@@ -269,6 +335,7 @@ QUERIES = {
 
 ORACLES = {
     "hourly_event_counts": Q_HOURLY_SQL,
+    "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,
     "json_log_lines": Q_JSON_LOG_LINES_SQL,
     "event_props_extract": Q_EVENT_PROPS_SQL,
     "retention_split": Q_RETENTION_SQL,
