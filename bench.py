@@ -87,6 +87,7 @@ EXTRA = [
     "doc_unigram_freq",
     "cluster_split_assign",
     "purchase_attribution",
+    "multi_touch_attribution",
 ]
 
 

@@ -322,9 +322,81 @@ Q_PURCHASE_ATTRIBUTION_SQL = """
 """
 
 
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) JOIN — the as-of join's multi-touch companion:
+    every click within the 24-hour window BEFORE each purchase by the
+    same user (inclusive at both ends), one row per (purchase, click)
+    pair. operators/rangejoin.py executes it as a BINNED range join —
+    each purchase window explodes to the <= 2 day-buckets it covers,
+    each click lands in exactly one, and the join is a plain equi-join
+    on (user_id, bucket) with the timestamp bounds as a post-join
+    filter — never the O(|clicks| x |purchases|)-per-user inequality
+    residual the naive formulation runs, and hot users subdivide across
+    time buckets. The oracle is DuckDB's native inequality join, so the
+    algorithms are independent. gap_seconds is an exact integer epoch
+    difference."""
+    from job_crawler_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        point_ts="click_ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        interval_cols=["purchase_id", "purchase_ts"],
+        bucket_seconds=24 * 3600,
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_seconds"),
+    ).orderBy("purchase_id", "click_id")
+
+
+Q_MULTI_TOUCH_SQL = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id,
+           c.click_ts,
+           CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+               AS gap_seconds
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 24 HOUR
+                        AND p.purchase_ts
+    ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "purchase_attribution": q_purchase_attribution,
+    "multi_touch_attribution": q_multi_touch_attribution,
     "json_log_lines": q_json_log_lines,
     "event_props_extract": q_event_props_extract,
     "retention_split": q_retention_split,
@@ -336,6 +408,7 @@ QUERIES = {
 ORACLES = {
     "hourly_event_counts": Q_HOURLY_SQL,
     "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,
+    "multi_touch_attribution": Q_MULTI_TOUCH_SQL,
     "json_log_lines": Q_JSON_LOG_LINES_SQL,
     "event_props_extract": Q_EVENT_PROPS_SQL,
     "retention_split": Q_RETENTION_SQL,
