@@ -88,6 +88,7 @@ EXTRA = [
     "cluster_split_assign",
     "purchase_attribution",
     "multi_touch_attribution",
+    "signup_conversion",
 ]
 
 

@@ -393,10 +393,84 @@ Q_MULTI_TOUCH_SQL = """
 """
 
 
+def q_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — conversion lag: every signup matched to the
+    same user's FIRST purchase at-or-after it (NULL when the user never
+    converts; ~8% of signups at gate scales). Exercises the forward
+    direction of operators/asof.py under the driver gate (the backward
+    direction is gated by purchase_attribution). DuckDB's native ASOF
+    JOIN is backward-only, so the oracle is an independent two-step
+    min/argmax formulation — among purchases sharing the minimal
+    at-or-after timestamp the greatest purchase_id wins, matching the
+    operator's tiebreak contract. lag_seconds is an exact integer epoch
+    difference, NULL for unconverted signups."""
+    from job_crawler_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_ts="signup_ts",
+        right_ts="purchase_ts",
+        right_cols=["purchase_id", "purchase_ts"],
+        direction="forward",
+        tiebreak="purchase_id",
+    )
+    return joined.select(
+        "user_id",
+        "signup_id",
+        "signup_ts",
+        "purchase_id",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("lag_seconds"),
+    ).orderBy("signup_id")
+
+
+Q_SIGNUP_CONVERSION_SQL = """
+    WITH s AS (
+      SELECT user_id, event_id AS signup_id, ts AS signup_ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT s.user_id, s.signup_id, s.signup_ts,
+             MIN(p.purchase_ts) AS purchase_ts
+      FROM s LEFT JOIN p
+        ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_id, s.signup_ts
+    )
+    SELECT m.user_id, m.signup_id, m.signup_ts,
+           MAX(p.purchase_id) AS purchase_id, m.purchase_ts,
+           CAST(date_diff('second', m.signup_ts, m.purchase_ts) AS BIGINT)
+               AS lag_seconds
+    FROM m LEFT JOIN p
+      ON p.user_id = m.user_id AND p.purchase_ts = m.purchase_ts
+    GROUP BY m.user_id, m.signup_id, m.signup_ts, m.purchase_ts
+    ORDER BY signup_id
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "purchase_attribution": q_purchase_attribution,
     "multi_touch_attribution": q_multi_touch_attribution,
+    "signup_conversion": q_signup_conversion,
     "json_log_lines": q_json_log_lines,
     "event_props_extract": q_event_props_extract,
     "retention_split": q_retention_split,
@@ -409,6 +483,7 @@ ORACLES = {
     "hourly_event_counts": Q_HOURLY_SQL,
     "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,
     "multi_touch_attribution": Q_MULTI_TOUCH_SQL,
+    "signup_conversion": Q_SIGNUP_CONVERSION_SQL,
     "json_log_lines": Q_JSON_LOG_LINES_SQL,
     "event_props_extract": Q_EVENT_PROPS_SQL,
     "retention_split": Q_RETENTION_SQL,
