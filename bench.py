@@ -89,6 +89,7 @@ EXTRA = [
     "purchase_attribution",
     "multi_touch_attribution",
     "signup_conversion",
+    "error_rate_ma7",
 ]
 
 

@@ -120,6 +120,66 @@ Q_DAILY_ERROR_SQL = f"""
 """
 
 
+def q_error_rate_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window aggregate — the time-valued sliding frame no
+    other gated query exercises (hourly_event_counts is a tumbling/
+    sliding groupBy window; user_sessions uses ROWS frames): a trailing
+    7-day moving average of the daily error rate. The frame is
+    ``RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`` over the epoch-day
+    NUMBER (Spark's rangeBetween needs a numeric order key; whole days
+    make it equivalent to DuckDB's ``RANGE BETWEEN INTERVAL 6 DAY
+    PRECEDING``), so gap days would shrink the window rather than slide
+    over rows — the semantic difference from a ROWS frame. The moving
+    rate divides the two window-summed INTEGER counts once (exact
+    arithmetic, no order-dependent float accumulation); ma7_days exposes
+    the short leading frames honestly. The unpartitioned window is
+    scale-safe because its input is the DAILY rollup — cardinality is
+    bounded by calendar days, not data size, so the single-partition
+    exchange moves one row per day regardless of corpus scale."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    day_num = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return (
+        daily.withColumn("ma7_events", F.sum("n_events").over(w))
+        .withColumn("ma7_errors", F.sum("n_errors").over(w))
+        .withColumn("ma7_days", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "ma7_error_rate",
+            stable_round(F.col("ma7_errors") / F.col("ma7_events"), 6),
+        )
+        .orderBy("day")
+    )
+
+
+Q_ERROR_RATE_MA7_SQL = f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS ma7_events,
+           CAST(SUM(n_errors) OVER w AS BIGINT) AS ma7_errors,
+           CAST(COUNT(*) OVER w AS BIGINT) AS ma7_days,
+           {stable_round_sql(
+               "SUM(n_errors) OVER w / CAST(SUM(n_events) OVER w AS DOUBLE)",
+               6)} AS ma7_error_rate
+    FROM d
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY day
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
     session-start flags — the classic two-window stateful-ish analytic,
@@ -475,6 +535,7 @@ QUERIES = {
     "event_props_extract": q_event_props_extract,
     "retention_split": q_retention_split,
     "daily_error_rate": q_daily_error_rate,
+    "error_rate_ma7": q_error_rate_ma7,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -488,6 +549,7 @@ ORACLES = {
     "event_props_extract": Q_EVENT_PROPS_SQL,
     "retention_split": Q_RETENTION_SQL,
     "daily_error_rate": Q_DAILY_ERROR_SQL,
+    "error_rate_ma7": Q_ERROR_RATE_MA7_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
