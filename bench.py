@@ -90,6 +90,7 @@ EXTRA = [
     "multi_touch_attribution",
     "signup_conversion",
     "error_rate_ma7",
+    "daily_event_pivot",
 ]
 
 

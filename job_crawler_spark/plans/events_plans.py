@@ -180,6 +180,52 @@ Q_ERROR_RATE_MA7_SQL = f"""
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the wide-reshape operator class no other gated query
+    exercises: one row per day, one BIGINT count column per event type.
+    The pivot value list is EXPLICIT (``pivot(col, EVENT_TYPES)``), so
+    Spark skips the eager distinct-values collection job it otherwise
+    runs to discover the output schema — at 100 TB that pre-pass is a
+    full extra scan, and an unpinned schema breaks downstream column
+    contracts whenever a new type appears. The pivot compiles to one
+    hash aggregate keyed on day (map-side partial per type), a single
+    uniform shuffle; absent (day, type) cells are zero-filled. n_total
+    cross-checks the five pivoted columns against the plain row count.
+    The oracle is conditional aggregation — independent of any PIVOT
+    syntax."""
+    ev = _events(spark, sf_dir)
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    total = None
+    for t in EVENT_TYPES:
+        total = F.col(t) if total is None else total + F.col(t)
+    return wide.withColumn("n_total", total).orderBy("day")
+
+
+Q_DAILY_EVENT_PIVOT_SQL = """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0)
+                AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+                AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+                AS BIGINT) AS view,
+           COUNT(*) AS n_total
+    FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
     session-start flags — the classic two-window stateful-ish analytic,
@@ -536,6 +582,7 @@ QUERIES = {
     "retention_split": q_retention_split,
     "daily_error_rate": q_daily_error_rate,
     "error_rate_ma7": q_error_rate_ma7,
+    "daily_event_pivot": q_daily_event_pivot,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -550,6 +597,7 @@ ORACLES = {
     "retention_split": Q_RETENTION_SQL,
     "daily_error_rate": Q_DAILY_ERROR_SQL,
     "error_rate_ma7": Q_ERROR_RATE_MA7_SQL,
+    "daily_event_pivot": Q_DAILY_EVENT_PIVOT_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
