@@ -91,6 +91,7 @@ EXTRA = [
     "signup_conversion",
     "error_rate_ma7",
     "daily_event_pivot",
+    "daily_event_grid",
 ]
 
 

@@ -226,6 +226,51 @@ Q_DAILY_EVENT_PIVOT_SQL = """
 """
 
 
+def q_daily_event_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshape of daily_event_pivot, and the
+    idiomatic Spark form of time-series DENSIFICATION: pivot to the wide
+    day-per-row form (absent cells zero-filled), then ``unpivot`` back to
+    long (day, event_type, n). The round trip is not a no-op — the long
+    output materializes a row for every (day, type) cell including
+    zero-count ones, the dense grid downstream models and charting
+    pipelines need (a plain groupBy omits absent combinations). The
+    oracle builds the same grid the relational way — distinct days CROSS
+    JOIN the type list LEFT JOIN the counts — so the densification
+    semantics are cross-checked through an independent formulation, not
+    mirrored syntax. Same two uniform aggregation shuffles as the pivot;
+    the unpivot itself is a narrow per-row expansion (x5, no shuffle)."""
+    ev = _events(spark, sf_dir)
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return (
+        wide.unpivot("day", EVENT_TYPES, "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
+Q_DAILY_EVENT_GRID_SQL = """
+    WITH d AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ),
+    t AS (
+      SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+                 AS event_type
+    ),
+    c AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM d CROSS JOIN t
+    LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
     session-start flags — the classic two-window stateful-ish analytic,
@@ -583,6 +628,7 @@ QUERIES = {
     "daily_error_rate": q_daily_error_rate,
     "error_rate_ma7": q_error_rate_ma7,
     "daily_event_pivot": q_daily_event_pivot,
+    "daily_event_grid": q_daily_event_grid,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -598,6 +644,7 @@ ORACLES = {
     "daily_error_rate": Q_DAILY_ERROR_SQL,
     "error_rate_ma7": Q_ERROR_RATE_MA7_SQL,
     "daily_event_pivot": Q_DAILY_EVENT_PIVOT_SQL,
+    "daily_event_grid": Q_DAILY_EVENT_GRID_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
