@@ -92,6 +92,7 @@ EXTRA = [
     "error_rate_ma7",
     "daily_event_pivot",
     "daily_event_grid",
+    "tpch_status_cube",
 ]
 
 

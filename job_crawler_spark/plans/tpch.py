@@ -313,6 +313,43 @@ Q_ROLLUP_REVENUE_SQL = f"""
 """
 
 
+def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + GROUPING() — the full-lattice companion to
+    tpch_rollup_revenue (ROLLUP covers only the hierarchy's prefixes;
+    CUBE adds the cross-slices, here the per-priority totals across
+    statuses). One Expand + one hash-agg shuffle, exactly like rollup —
+    the 4 grouping sets cost a 4x map-side fan-out, never 4 scans.
+    grouping_id() is emitted so NULL-as-subtotal rows are
+    distinguishable from NULL data values — both engines use the
+    SQL-standard bit encoding (first grouping column = most significant
+    bit), which the oracle's native GROUPING() call cross-checks."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q_STATUS_CUBE_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {stable_round_sql("SUM(o_totalprice)", 2)} AS total_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+             o_orderpriority ASC NULLS FIRST
+"""
+
+
 def q_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS — orders with at least one
     lineitem shipped >60 days after the order date. Catalyst plans the
@@ -438,6 +475,7 @@ QUERIES = {
     "tpch_promo_revenue": q_promo_revenue,
     "tpch_big_orders": q_big_orders,
     "tpch_rollup_revenue": q_rollup_revenue,
+    "tpch_status_cube": q_status_cube,
 }
 
 ORACLES = {
@@ -452,4 +490,5 @@ ORACLES = {
     "tpch_promo_revenue": Q_PROMO_REVENUE_SQL,
     "tpch_big_orders": Q_BIG_ORDERS_SQL,
     "tpch_rollup_revenue": Q_ROLLUP_REVENUE_SQL,
+    "tpch_status_cube": Q_STATUS_CUBE_SQL,
 }
