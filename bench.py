@@ -93,6 +93,7 @@ EXTRA = [
     "daily_event_pivot",
     "daily_event_grid",
     "tpch_status_cube",
+    "doc_length_ranks",
 ]
 
 

@@ -1879,10 +1879,59 @@ Q_MEDIA_DECODE_SQL = """
 """
 
 
+def q_doc_length_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions — ntile / percent_rank /
+    cume_dist, the within-group position class no other gated query
+    exercises (row_number top-k and RANGE frames are gated; relative
+    position is not). Per-language length deciles drive curriculum
+    ordering and length-balanced sampling in training pipelines. The
+    window ORDER BY is (n_chars, doc_id) — a TOTAL order, which makes
+    all three functions tie-free and deterministic (under ties ntile's
+    bucket boundary would depend on physical row order). One hash
+    shuffle on lang; percent_rank/cume_dist add no pass beyond the
+    sort. Oracle runs DuckDB's same-named window functions over the
+    identical frame — cross-engine semantics check (remainder buckets:
+    the first n mod 10 deciles take the extra rows in both engines)."""
+    from job_crawler_spark.functions.compat import stable_round
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.ntile(10).over(w).alias("decile"),
+            stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_length_ranks_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+           {stable_round_sql("PERCENT_RANK() OVER w", 6)} AS pct_rank,
+           {stable_round_sql("CUME_DIST() OVER w", 6)} AS cume
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ORDER BY doc_id
+"""
+
+
+_DOC_LENGTH_RANKS_SQL = _doc_length_ranks_sql()
+
+
 QUERIES = {
     "doc_tech_stack": q_doc_tech_stack,
     "doc_classification": q_doc_classification,
     "token_counts": q_token_counts,
+    "doc_length_ranks": q_doc_length_ranks,
     "quality_scores": q_quality_scores,
     "lang_guess": q_lang_guess,
     "fingerprints": q_fingerprints,
@@ -1931,6 +1980,7 @@ ORACLES = {
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
+    "doc_length_ranks": _DOC_LENGTH_RANKS_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_decontaminate": _DOC_DECONTAM_SQL,
     "doc_length_quantiles": _doc_length_quantiles_sql(),
