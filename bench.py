@@ -94,6 +94,7 @@ EXTRA = [
     "daily_event_grid",
     "tpch_status_cube",
     "doc_length_ranks",
+    "hourly_value_locf",
 ]
 
 

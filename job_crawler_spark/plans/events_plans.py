@@ -271,6 +271,102 @@ Q_DAILY_EVENT_GRID_SQL = """
 """
 
 
+def q_hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward (LOCF) — the
+    time-series repair op every metrics/feature pipeline needs and no
+    other gated query exercises: build the DENSE hour spine (min..max
+    hour from a scalar aggregate — no driver round trip), cross it with
+    the type list, left-join the hourly rollup, then forward-fill each
+    type's missing hourly value with ``last(value, ignorenulls=True)``
+    over an hour-ordered ROWS frame. Missing cells genuinely occur at
+    both gate scales (215 of 3,600 cells at sf0.01; 2,732 at sf0.001,
+    where leading-edge cells before a type's first observation stay NULL
+    — that semantic is exercised, not just the happy path). Totals are
+    stable-rounded BEFORE filling so both engines carry bit-identical
+    values forward. Scale shape: the corpus is touched once (the hourly
+    aggregate); every later frame — spine, grid, window — is bounded by
+    calendar hours x types, never by data size."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    grid = spine.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(t,) for t in EVENT_TYPES], "event_type string"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "total_value",
+            F.last("total_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+            F.col("total_value").isNull().alias("is_filled"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+Q_HOURLY_VALUE_LOCF_SQL = f"""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ),
+    t AS (
+      SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+                 AS event_type
+    ),
+    c AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n,
+             {stable_round_sql("SUM(value)", 2)} AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT spine.hour, t.event_type,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n, c.total_value
+      FROM spine CROSS JOIN t
+      LEFT JOIN c ON c.hour = spine.hour AND c.event_type = t.event_type
+    )
+    SELECT hour, event_type, n, total_value,
+           LAST_VALUE(total_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (total_value IS NULL) AS is_filled
+    FROM g ORDER BY hour, event_type
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
     session-start flags — the classic two-window stateful-ish analytic,
@@ -629,6 +725,7 @@ QUERIES = {
     "error_rate_ma7": q_error_rate_ma7,
     "daily_event_pivot": q_daily_event_pivot,
     "daily_event_grid": q_daily_event_grid,
+    "hourly_value_locf": q_hourly_value_locf,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -645,6 +742,7 @@ ORACLES = {
     "error_rate_ma7": Q_ERROR_RATE_MA7_SQL,
     "daily_event_pivot": Q_DAILY_EVENT_PIVOT_SQL,
     "daily_event_grid": Q_DAILY_EVENT_GRID_SQL,
+    "hourly_value_locf": Q_HOURLY_VALUE_LOCF_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
