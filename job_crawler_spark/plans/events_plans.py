@@ -286,17 +286,26 @@ def q_hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     values forward. Scale shape: the corpus is touched once (the hourly
     aggregate); every later frame — spine, grid, window — is bounded by
     calendar hours x types, never by data size."""
-    ev = _events(spark, sf_dir)
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        stable_round(F.sum("value"), 2).alias("total_value"),
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+
+    ev = _events(spark, sf_dir)
+    # the hourly rollup is the ONLY corpus scan; it is localCheckpointed
+    # (calendar-bounded rows) so the spine bounds and the grid join both
+    # read the materialized frame instead of re-scanning events
+    hourly = tracked_local_checkpoint(
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     spine = bounds.select(
         F.explode(
@@ -315,7 +324,7 @@ def q_hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         grid.join(hourly, ["hour", "event_type"], "left")
         .select(
             "hour",
@@ -329,6 +338,8 @@ def q_hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+    out._graft_checkpoints = [hourly]
+    return out
 
 
 Q_HOURLY_VALUE_LOCF_SQL = f"""
