@@ -273,3 +273,71 @@ def test_cluster_split_is_narrow_over_labels(spark, queries):
     release_checkpoints(df)
     assert n_hash_exchanges(plan) == 0, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_purchase_attribution_joinfree_single_shuffle(spark, queries):
+    """The as-of query keeps the operator's contract end-to-end: no Join
+    operator anywhere, one hash shuffle (the user window), one Window."""
+    plan = explain_str(queries["purchase_attribution"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert plan.count("Window ") == 1, plan
+
+
+def test_multi_touch_is_bucket_equijoin(spark, queries):
+    """The range-join query must stay a (user, bucket) equi-join with the
+    time bounds as the join condition — never a nested-loop/cartesian
+    plan, never a Window."""
+    plan = explain_str(queries["multi_touch_attribution"](spark, SF_DIR))
+    assert "__rj_bucket" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_error_rate_ma7_rollup_then_bounded_window(spark, queries):
+    """One corpus shuffle (the daily rollup); the RANGE window runs on the
+    calendar-bounded single partition, never on the corpus."""
+    plan = explain_str(queries["error_rate_ma7"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "SinglePartition" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on the rollup
+
+
+def test_pivot_two_agg_shuffles_no_discovery_scan(spark, queries):
+    """Explicit pivot values: exactly the two pivot aggregation shuffles
+    and ONE events scan — an extra scan would mean Spark ran the eager
+    distinct-values discovery job."""
+    plan = explain_str(queries["daily_event_pivot"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 2, plan
+    # one "Location:" detail line per parquet scan in formatted mode
+    assert plan.count("Location:") == 1, plan
+
+
+def test_cube_is_expand_single_shuffle(spark, queries):
+    """CUBE: grouping sets via one Expand + one aggregation shuffle —
+    never one scan per grouping set."""
+    plan = explain_str(queries["tpch_status_cube"](spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert plan.count("Location:") == 1, plan
+
+
+def test_length_ranks_single_lang_shuffle(spark, queries):
+    plan = explain_str(queries["doc_length_ranks"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    assert plan.count("Window ") == 1, plan
+
+
+def test_locf_visible_plan_never_rescans_events(spark, queries):
+    """The single-scan contract: the corpus scan lives behind the
+    checkpointed hourly rollup, so the visible plan reads ONLY the
+    materialized frame — zero parquet scans (a regression to a second
+    events aggregate shows up as a parquet scan here)."""
+    from job_crawler_spark.plans.similarity import release_checkpoints
+
+    df = queries["hourly_value_locf"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
