@@ -95,6 +95,7 @@ EXTRA = [
     "tpch_status_cube",
     "doc_length_ranks",
     "hourly_value_locf",
+    "user_status_intervals",
 ]
 
 

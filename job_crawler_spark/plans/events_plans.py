@@ -378,6 +378,49 @@ Q_HOURLY_VALUE_LOCF_SQL = f"""
 """
 
 
+def q_user_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization — the inverse of the temporal joins: turn an
+    event log into VALIDITY INTERVALS. Each user event opens a state
+    interval [ts, next event ts) via ``lead`` over the user's timeline;
+    the current (latest) state has valid_to NULL and is_current true —
+    the slowly-changing-dimension type-2 table an as-of or range join
+    then probes. duration_seconds is NULL-propagating exact integer
+    epoch arithmetic. The order key (ts, event_id) is total, so interval
+    boundaries are deterministic under same-timestamp events. One user
+    shuffle; lead costs no second pass. Oracle: DuckDB's LEAD over the
+    identical frame."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            (
+                F.unix_timestamp(nxt) - F.unix_timestamp("ts")
+            ).alias("duration_seconds"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_USER_STATUS_INTERVALS_SQL = """
+    SELECT user_id, event_id, event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current,
+           CAST(date_diff('second', ts, LEAD(ts) OVER w) AS BIGINT)
+               AS duration_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
     session-start flags — the classic two-window stateful-ish analytic,
@@ -737,6 +780,7 @@ QUERIES = {
     "daily_event_pivot": q_daily_event_pivot,
     "daily_event_grid": q_daily_event_grid,
     "hourly_value_locf": q_hourly_value_locf,
+    "user_status_intervals": q_user_status_intervals,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -754,6 +798,7 @@ ORACLES = {
     "daily_event_pivot": Q_DAILY_EVENT_PIVOT_SQL,
     "daily_event_grid": Q_DAILY_EVENT_GRID_SQL,
     "hourly_value_locf": Q_HOURLY_VALUE_LOCF_SQL,
+    "user_status_intervals": Q_USER_STATUS_INTERVALS_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
