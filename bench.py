@@ -96,6 +96,7 @@ EXTRA = [
     "doc_length_ranks",
     "hourly_value_locf",
     "user_status_intervals",
+    "session_window_totals",
 ]
 
 

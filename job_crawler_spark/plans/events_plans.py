@@ -378,6 +378,65 @@ Q_HOURLY_VALUE_LOCF_SQL = f"""
 """
 
 
+def q_session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` — Spark's built-in dynamic-gap session
+    operator (the one that also runs under Structured Streaming with
+    state-store merging; user_sessions pins the MANUAL lag+cumsum
+    formulation, this pins the native one): per-user 30-minute-gap
+    sessions with event counts and value totals. The oracle derives the
+    same sessions RELATIONALLY in DuckDB (lag -> new-session flag ->
+    running-sum session ids -> aggregate) — two independent
+    formulations, so the operator's merge semantics are cross-checked:
+    an event starts a new session iff it is >= gap after the previous
+    event (Spark's window end is last event + gap, exclusive), and
+    session_end extends to last_ts + gap in both. One user shuffle
+    (session assignment + aggregation fuse into the same exchange)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q_SESSION_WINDOW_SQL = f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w
+                          >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {stable_round_sql("SUM(value)", 2)} AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
 def q_user_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 historization — the inverse of the temporal joins: turn an
     event log into VALIDITY INTERVALS. Each user event opens a state
@@ -781,6 +840,7 @@ QUERIES = {
     "daily_event_grid": q_daily_event_grid,
     "hourly_value_locf": q_hourly_value_locf,
     "user_status_intervals": q_user_status_intervals,
+    "session_window_totals": q_session_window_totals,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
 }
@@ -799,6 +859,7 @@ ORACLES = {
     "daily_event_grid": Q_DAILY_EVENT_GRID_SQL,
     "hourly_value_locf": Q_HOURLY_VALUE_LOCF_SQL,
     "user_status_intervals": Q_USER_STATUS_INTERVALS_SQL,
+    "session_window_totals": Q_SESSION_WINDOW_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
 }
