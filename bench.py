@@ -97,6 +97,7 @@ EXTRA = [
     "hourly_value_locf",
     "user_status_intervals",
     "session_window_totals",
+    "doc_shard_order",
 ]
 
 

@@ -453,6 +453,62 @@ _DOC_SPLIT_SQL = """
 SAMPLE_RATES_PM = {"en": 900, "de": 500, "fr": 500, "es": 250, "zh": 250}
 SAMPLE_DEFAULT_PM = 100
 
+EPOCH_SEED = "epoch0"  # seed of the training-order permutation
+N_SHARDS = 8
+
+
+def q_doc_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation + sharding — the step
+    that turns a corpus into reproducible training input: every doc gets
+    a seeded pseudo-random ORDER KEY (md5 of seed:doc_id — changing
+    EPOCH_SEED reshuffles every epoch identically on any engine, no
+    rand()), a uniform SHARD from the key's first 8 hex chars, and its
+    position WITHIN the shard. This is exactly how a 10^10-doc corpus is
+    shuffled in practice: no global sort ever runs — one hash shuffle on
+    shard (uniform by construction) and a per-shard sort, each shard an
+    independent output file group a data loader streams in order. The
+    lexicographic hex order of the full md5 is the permutation (lowercase
+    hex compares identically in both engines); doc_id is the collision
+    tiebreak."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(EPOCH_SEED), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            key.alias("order_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .orderBy("shard", "pos")
+    )
+
+
+_DOC_SHARD_ORDER_SQL = f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS order_key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, order_key,
+             CAST(CAST(('0x' || substring(order_key, 1, 8)) AS BIGINT)
+                  % {N_SHARDS} AS INTEGER) AS shard
+      FROM k
+    )
+    SELECT doc_id, order_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY order_key, doc_id) AS INTEGER) AS pos
+    FROM s ORDER BY shard, pos
+"""
+
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic STRATIFIED sampling — the training-mix rebalancing
@@ -1932,6 +1988,7 @@ QUERIES = {
     "doc_classification": q_doc_classification,
     "token_counts": q_token_counts,
     "doc_length_ranks": q_doc_length_ranks,
+    "doc_shard_order": q_doc_shard_order,
     "quality_scores": q_quality_scores,
     "lang_guess": q_lang_guess,
     "fingerprints": q_fingerprints,
@@ -1981,6 +2038,7 @@ ORACLES = {
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,
     "doc_length_ranks": _DOC_LENGTH_RANKS_SQL,
+    "doc_shard_order": _DOC_SHARD_ORDER_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_decontaminate": _DOC_DECONTAM_SQL,
     "doc_length_quantiles": _doc_length_quantiles_sql(),
