@@ -83,7 +83,11 @@ def asof_join(
     }
 
     pay = F.struct(*[F.col(c).alias(c) for c in right_cols])
-    r_side = right.select(
+    # A NULL right_ts can never satisfy right_ts <= left_ts (or >=): drop
+    # those rows up front, otherwise default nulls-first ascending ordering
+    # would sort them to the partition head and `last(ignorenulls)` would
+    # carry their payload into left rows that have no true match.
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -107,7 +111,14 @@ def asof_join(
     # tiebreak-ascending so `last` sees the greatest one most recently.
     # forward: ts descending with the SAME side/tie order -> the last-seen
     # right row at-or-after the left row is the nearest one, inclusive >=.
-    ts_ord = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    # Explicit nulls-FIRST in both directions: a left row with NULL ts
+    # sorts before every (non-null-ts) right row, sees no prior payload,
+    # and matches NULL — identical semantics backward and forward.
+    ts_ord = (
+        F.col(_TS).asc_nulls_first()
+        if direction == "backward"
+        else F.col(_TS).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(ts_ord, F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_last())

@@ -387,9 +387,10 @@ def q_session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sessions RELATIONALLY in DuckDB (lag -> new-session flag ->
     running-sum session ids -> aggregate) — two independent
     formulations, so the operator's merge semantics are cross-checked:
-    an event starts a new session iff it is >= gap after the previous
-    event (Spark's window end is last event + gap, exclusive), and
-    session_end extends to last_ts + gap in both. One user shuffle
+    an event starts a new session iff it is STRICTLY more than gap after
+    the previous event (touching windows merge: an event at exactly
+    prev_ts + gap continues the session), and session_end extends to
+    last_ts + gap in both. One user shuffle
     (session assignment + aggregation fuse into the same exchange)."""
     ev = _events(spark, sf_dir)
     return (
@@ -414,17 +415,25 @@ def q_session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SESSION_WINDOW_SQL = f"""
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
+             -- STRICTLY greater: Spark's session_window MERGES touching
+             -- windows (an event at exactly prev_ts + gap — its window
+             -- start equal to the previous window end — continues the
+             -- session; probed on Spark 4.1.2)
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w
-                          >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                          > INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             -- order by (ts, event_id) to match the flag window w exactly:
+             -- with duplicate (user_id, ts) rows straddling a gap boundary,
+             -- a ts-only running sum could order an unflagged tie-mate
+             -- before the flagged row and assign it to the previous session
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

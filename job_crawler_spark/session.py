@@ -56,6 +56,13 @@ def get_spark(
         # single-disk bottleneck that otherwise serializes multi-core runs
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Every Python-worker death must carry a Python traceback: an
+        # unattributed "worker exited unexpectedly (crashed)" (see
+        # BENCH/NOTES_r05.md, Aug 17 stage 1312) is unacceptable for an
+        # engine that targets resumable multi-day crawls. Both the generic
+        # worker flag and the SQL-UDF (Arrow path) twin.
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -81,6 +81,33 @@ def test_right_duplicates_resolve_to_greatest_tiebreak(spark):
     assert out.collect()[0]["rid"] == 9
 
 
+def test_null_timestamps_never_match(spark):
+    """NULL timestamps are outside the temporal order: a right row with
+    NULL right_ts can never satisfy right_ts <= left_ts (or >=), and a
+    left row with NULL left_ts matches nothing — in BOTH directions.
+    Regression pin: default nulls-first ascending used to sort a NULL-ts
+    right row to the partition head, where `last(ignorenulls)` carried its
+    payload into every unmatched left row."""
+    left = spark.createDataFrame(
+        [(1, _ts(8), "early"), (1, _ts(12), "late"), (1, None, "null_l")],
+        "uid long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666), (1, _ts(10), 100)],
+        "uid long, rts timestamp, rid long",
+    )
+    for direction, expect in (
+        ("backward", {"early": None, "late": 100, "null_l": None}),
+        ("forward", {"early": 100, "late": None, "null_l": None}),
+    ):
+        out = asof_join(
+            left, right, on=["uid"], left_ts="ts", right_ts="rts",
+            right_cols=["rid"], direction=direction,
+        )
+        rows = {r["tag"]: r["rid"] for r in out.collect()}
+        assert rows == expect, (direction, rows)
+
+
 def test_collision_suffix(spark):
     left = spark.createDataFrame(
         [(1, _ts(12), "L")], "uid long, ts timestamp, val string"
