@@ -34,7 +34,6 @@ from job_crawler_spark.operators.checkpoints import (  # noqa: F401 (re-export)
 N_QUERIES = 20       # query vectors for top-k demos
 TOP_K = 5
 NEARDUP_TAU = 0.35   # driver embeddings are near-orthogonal (max cos ~0.48)
-NEARDUP_BLOCKS = 8   # sub-blocks per IVF list for tiled pair expansion
 SIGN_BITS = 4        # LSH bucket bits -> 16 buckets
 
 
@@ -421,11 +420,51 @@ def _int8_topk_sql() -> str:
 
 # --- IVF: trained coarse quantizer + nprobe search ---------------------------
 
-K_LISTS = 8        # inverted lists (coarse centroids)
-NPROBE = 2         # lists searched per query
-SEED_STRIDE = 13   # deterministic seed picks: vec_id = 0, 13, ..., 91
+K_LISTS = 8        # FLOOR on derived lists (and the tiny-corpus fallback)
+K_CAP = 4096       # ceiling on derived lists: the centroid frame stays a
+                   # broadcast-sized dim (4096 x dim doubles ~ a few MB)
+NPROBE = 2         # floor on derived probe count
+SEED_STRIDE = 13   # deterministic seed picks: vec_id = 0, 13, 26, ...
 TRAIN_STRIDE = 3   # coarse-quantizer training sample: every 3rd vector ...
 TRAIN_CAP = 512    # ... capped at 512 vectors (vec_id < TRAIN_STRIDE*TRAIN_CAP)
+BLOCK_TARGET = 128  # members per expansion sub-block (tiled-n^2 task size)
+
+
+def derived_ivf_params(n_vectors: int, cap: int = K_CAP) -> tuple[int, int]:
+    """The FAISS K ~ sqrt(n) rule as CODE (r04 verdict item 3), not a
+    docstring: k_lists = clamp(ceil(sqrt(n)), K_LISTS, cap) bounds expected
+    list length at n/k ~ sqrt(n), so per-query IVF work is
+    O(sqrt(n) * nprobe) and near-dup candidate mass is O(n^1.5) instead of
+    O(n^2). k is additionally capped at n // SEED_STRIDE so every seed
+    vec_id (0, 13, ..., (k-1)*13) exists in a contiguous-id corpus.
+    nprobe = clamp(ceil(k/4), NPROBE, k): probing a constant FRACTION of
+    lists keeps recall roughly flat as k grows with the corpus (probing a
+    constant COUNT would send recall to zero). Returns (k_lists, nprobe);
+    mirrored EXACTLY by the params CTE in _ivf_trained_ctes so Spark and
+    the DuckDB oracle always agree at any corpus size."""
+    import math
+
+    if n_vectors <= 0:
+        return K_LISTS, NPROBE
+    r = math.isqrt(n_vectors)
+    ceil_sqrt = r if r * r == n_vectors else r + 1
+    k = max(K_LISTS, ceil_sqrt)
+    k = min(k, cap, max(1, n_vectors // SEED_STRIDE))
+    return k, derived_nprobe(k)
+
+
+def derived_nprobe(k_lists: int) -> int:
+    """nprobe = clamp(ceil(k/4), NPROBE, k) — a constant FRACTION of lists."""
+    return min(max(NPROBE, -(-k_lists // 4)), k_lists)
+
+
+def derived_blocks(n_vectors: int, k_lists: int, nprobe: int) -> int:
+    """Expansion sub-blocks sized against the EXPECTED list length
+    (n * nprobe / k): per-task pair work stays ~ BLOCK_TARGET^2 regardless
+    of corpus size. Plan-only — blocking partitions the identical pair
+    enumeration, so the result (and the oracle) is independent of B."""
+    exp_list = max(1, (n_vectors * nprobe) // max(1, k_lists))
+    return max(1, min(64, -(-exp_list // BLOCK_TARGET)))
 
 
 def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -497,8 +536,8 @@ def _ivf_trained_centroids(emb: DataFrame, k_lists: int = K_LISTS) -> DataFrame:
 def q_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
-    k_lists: int = K_LISTS,
-    nprobe: int = NPROBE,
+    k_lists: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF ANN — the classic 10^10-vector scale path (coarse quantizer +
     inverted lists, the structure under FAISS IVF indexes): train K_LISTS
@@ -512,8 +551,16 @@ def q_ivf_topk(
     list id is the only shuffle key, and per-query work is corpus/K *
     NPROBE instead of the brute-force full scan. The tiny trained/probe
     frames are localCheckpointed so the list join never self-joins shared
-    computed lineage (the repo's dropped-row-flake policy)."""
+    computed lineage (the repo's dropped-row-flake policy).
+
+    k_lists/nprobe default to derived_ivf_params(corpus count) — the
+    K ~ sqrt(n) rule in code; pass explicit values to pin them. The count
+    is a parquet-metadata aggregate (footer row counts), not a data scan."""
     emb = _emb(spark, sf_dir)
+    if k_lists is None:
+        k_lists, _ = derived_ivf_params(emb.count())
+    if nprobe is None:
+        nprobe = derived_nprobe(k_lists)
     trained = tracked_local_checkpoint(_ivf_trained_centroids(emb, k_lists))
 
     # inverted lists: corpus -> nearest trained centroid (max_by hash agg,
@@ -562,15 +609,32 @@ def q_ivf_topk(
 def _ivf_trained_ctes() -> str:
     """Shared DuckDB CTE block computing the trained coarse quantizer
     (seeds -> sampled Lloyd step -> rounded-mean centroids), mirroring
-    _ivf_trained_centroids exactly. Ends without a trailing comma."""
+    _ivf_trained_centroids exactly. The ``params`` CTE derives k_lists and
+    nprobe from COUNT(*) with the SAME clamp arithmetic as
+    derived_ivf_params/derived_nprobe (k = clamp(ceil(sqrt(n)), K_LISTS,
+    min(K_CAP, n // SEED_STRIDE)); np = clamp(ceil(k/4), NPROBE, k)), so
+    the oracle tracks the Spark defaults at any corpus size. Ends without
+    a trailing comma."""
     cos_seed = _cos4_sql("e.embedding", "s.ce")
     avg4 = stable_round_sql("AVG(CAST(v AS DOUBLE))", 4)
     return f"""
+        params AS (
+          SELECT k, LEAST(GREATEST(CAST(CEIL(k / 4.0) AS BIGINT), {NPROBE}), k) AS np
+          FROM (
+            SELECT LEAST(
+                     GREATEST(CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT),
+                              {K_LISTS}),
+                     {K_CAP},
+                     GREATEST(COUNT(*) // {SEED_STRIDE}, 1)
+                   ) AS k
+            FROM embeddings
+          )
+        ),
         seeds AS (
           SELECT CAST(vec_id / {SEED_STRIDE} AS INT) AS cid, embedding AS ce
           FROM embeddings
           WHERE vec_id % {SEED_STRIDE} = 0
-            AND vec_id < {K_LISTS * SEED_STRIDE}
+            AND vec_id < (SELECT k FROM params) * {SEED_STRIDE}
         ),
         a1 AS (
           SELECT vec_id, embedding, cid FROM (
@@ -619,7 +683,7 @@ def _ivf_topk_sql() -> str:
                      ORDER BY {cos_probe} DESC, t.cid ASC) AS r
             FROM embeddings q CROSS JOIN trained t
             WHERE q.vec_id < {N_QUERIES}
-          ) p0 WHERE r <= {NPROBE}
+          ) p0 WHERE r <= (SELECT np FROM params)
         ),
         scored AS (
           SELECT p.query_id, l.vec_id AS neighbor_id, {cos_final} AS cos
@@ -639,8 +703,9 @@ def _ivf_topk_sql() -> str:
 def q_neardup_pairs_ann(
     spark: SparkSession,
     sf_dir: str,
-    k_lists: int = K_LISTS,
-    nprobe: int = NPROBE,
+    k_lists: int | None = None,
+    nprobe: int | None = None,
+    blocks: int | None = None,
 ) -> DataFrame:
     """ANN twin of emb_neardup_pairs — the 100x-scale path: candidates from
     the trained IVF coarse quantizer (each vector replicated into its
@@ -660,7 +725,7 @@ def q_neardup_pairs_ann(
     lineage.
 
     Within a list the i<j enumeration is BLOCKED (classic tiled n^2):
-    members hash into NEARDUP_BLOCKS sub-blocks per list, the blocks of a
+    members hash into ``blocks`` sub-blocks per list, the blocks of a
     list join pairwise on the list id (b1 <= b2, shuffle-hash over the
     checkpointed block frame — never shared live lineage), and each
     (b1, b2) combo expands either i<j (diagonal) or full cross
@@ -673,8 +738,22 @@ def q_neardup_pairs_ann(
     array cap) bounded; FAISS-style K ~ sqrt(n) remains the knob that
     bounds TOTAL candidate work. Data amplification through the block
     join is (B+1)x the list payload — second-order next to the pair
-    compute it spreads."""
+    compute it spreads.
+
+    k_lists/nprobe default to derived_ivf_params(corpus count) and blocks
+    to derived_blocks(...) — the K ~ sqrt(n) and task-size rules in code;
+    pass explicit values to pin them."""
     emb = _emb(spark, sf_dir)
+    if k_lists is None or blocks is None:
+        n_vectors = emb.count()
+        if k_lists is None:
+            k_lists, _ = derived_ivf_params(n_vectors)
+        if nprobe is None:
+            nprobe = derived_nprobe(k_lists)
+        if blocks is None:
+            blocks = derived_blocks(n_vectors, k_lists, nprobe)
+    elif nprobe is None:
+        nprobe = derived_nprobe(k_lists)
     trained = tracked_local_checkpoint(_ivf_trained_centroids(emb, k_lists))
 
     # per-vector prep ONCE: double-cast components + the vector's norm —
@@ -715,9 +794,9 @@ def q_neardup_pairs_ann(
         )
         .select("vec_id", "ed", "nrm", F.explode("top.cid").alias("cid"))
     )
-    blocks = tracked_local_checkpoint(
+    block_frame = tracked_local_checkpoint(
         assigned.withColumn(
-            "blk", F.pmod(F.hash("vec_id"), F.lit(NEARDUP_BLOCKS))
+            "blk", F.pmod(F.hash("vec_id"), F.lit(blocks))
         )
         .groupBy("cid", "blk")
         .agg(
@@ -739,9 +818,11 @@ def q_neardup_pairs_ann(
     # minhash rewrite documented does not apply), shuffle-hash hinted so
     # no sort ever materializes.
     combos = (
-        blocks.select("cid", F.col("blk").alias("b1"), F.col("vs").alias("vs1"))
+        block_frame.select(
+            "cid", F.col("blk").alias("b1"), F.col("vs").alias("vs1")
+        )
         .join(
-            blocks.select(
+            block_frame.select(
                 "cid", F.col("blk").alias("b2"), F.col("vs").alias("vs2")
             ).hint("shuffle_hash"),
             "cid",
@@ -793,7 +874,7 @@ def q_neardup_pairs_ann(
         .distinct()
         .orderBy("a", "b")
     )
-    out._graft_checkpoints = [trained, blocks]
+    out._graft_checkpoints = [trained, block_frame]
     return out
 
 
@@ -808,7 +889,7 @@ def _neardup_ann_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                      ORDER BY {cos_assign} DESC, t.cid ASC) AS r
             FROM embeddings e CROSS JOIN trained t
-          ) WHERE r <= {NPROBE}
+          ) WHERE r <= (SELECT np FROM params)
         )
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, {cos_pair} AS cos
         FROM assigned x JOIN assigned y
