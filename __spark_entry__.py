@@ -53,6 +53,7 @@ def _plan_modules():
         crawlops,
         events_plans,
         frameworks_plans,
+        pii_plans,
         relational,
         similarity,
         textops,
@@ -63,6 +64,7 @@ def _plan_modules():
         crawlops,
         events_plans,
         frameworks_plans,
+        pii_plans,
         relational,
         similarity,
         textops,

@@ -98,6 +98,7 @@ EXTRA = [
     "user_status_intervals",
     "session_window_totals",
     "doc_shard_order",
+    "pii_spans",
 ]
 
 
