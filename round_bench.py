@@ -25,17 +25,36 @@ ROUND_SECONDS = int(os.environ.get("SPARK_GRAFT_ROUND_SECONDS", "3000"))
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _calibrator(spark) -> float:
+    """Quiet-class pure-CPU job timed in the SAME window as the engine
+    rounds: a fixed-size range sum whose cost is independent of the engine.
+    Lets a reader attribute round-to-round wall-time drift to hypervisor
+    CPU steal vs engine code without trusting cross-window comparisons."""
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id % 7) AS s").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def engine_round_bench(
     spark, n_seeds: int, n_rounds: int, round_seconds: int = ROUND_SECONDS
 ) -> dict:
     """Run CrawlEngine rounds (default docs mode, commits included) in a
     throwaway warehouse and return the throughput summary. Reused by
-    bench.py so the judged artifact carries the engine number each round."""
+    bench.py so the judged artifact carries the engine number each round.
+
+    Every round row carries the per-phase wall-time map (schedule/
+    sched_write/fetch_parse_merge_docs/shard_delta_write/seen_append/
+    frontier_write/host_stats/lineage_write/stats/checkpoint_write) via
+    JCS_ROUND_TIMING, and the calibrator job brackets the loop — the
+    artifact is attributable (steal vs code) on its own."""
     from job_crawler_spark.catalog import Catalog
     from job_crawler_spark.crawl.round import CrawlEngine
     from job_crawler_spark.sources import synth
 
     root = tempfile.mkdtemp(prefix="jcs_round_bench_")
+    timing_prev = os.environ.get("JCS_ROUND_TIMING")
+    os.environ["JCS_ROUND_TIMING"] = "1"
+    cal_before = _calibrator(spark)
     try:
         engine = CrawlEngine(
             spark=spark,
@@ -63,10 +82,16 @@ def engine_round_bench(
                     "urls_per_sec": round(res["scheduled"] / dt, 1),
                     "frontier_pending": res["frontier_pending"],
                     "seen_total": res["seen_total"],
+                    "phase_seconds": res.get("phase_seconds", {}),
                 }
             )
     finally:
+        if timing_prev is None:
+            os.environ.pop("JCS_ROUND_TIMING", None)
+        else:
+            os.environ["JCS_ROUND_TIMING"] = timing_prev
         shutil.rmtree(root, ignore_errors=True)
+    cal_after = _calibrator(spark)
 
     total_urls = sum(r["scheduled"] for r in rounds)
     total_sec = sum(r["seconds"] for r in rounds)
@@ -77,6 +102,7 @@ def engine_round_bench(
         "seeds": n_seeds,
         "rounds": rounds,
         "bootstrap_seconds": round(t_bootstrap, 3),
+        "calibrator_seconds": {"before": cal_before, "after": cal_after},
     }
 
 
