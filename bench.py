@@ -99,6 +99,7 @@ EXTRA = [
     "session_window_totals",
     "doc_shard_order",
     "pii_spans",
+    "funnel_conversion",
 ]
 
 

@@ -835,8 +835,121 @@ Q_SIGNUP_CONVERSION_SQL = """
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_HORIZON_US = 48 * 3600 * 1_000_000  # 48-hour anchored horizon
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel (view -> click -> purchase within 48 h of
+    the anchor view) — the sequential-pattern analytic every product events
+    pipeline runs; see operators/funnel.py for the anchored-greedy
+    semantics and the one-exchange scale shape.
+
+    Output: one row per stage with the users reaching it, conversion vs the
+    funnel start and vs the previous stage, and the exact median seconds
+    from anchor to stage completion among completers. The per-stage rollup
+    runs on the |users|-row frame, never the event corpus; the single-
+    partition ordered window at the end spans exactly |stages| rows."""
+    from job_crawler_spark.operators.funnel import window_funnel
+
+    per_user = window_funnel(
+        _events(spark, sf_dir),
+        stages=list(FUNNEL_STAGES),
+        horizon_us=FUNNEL_HORIZON_US,
+    )
+    stage_rows = per_user.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage"),
+                        F.lit(name).alias("stage_name"),
+                        F.col(f"t{i + 1}").alias("tk"),
+                    )
+                    for i, name in enumerate(FUNNEL_STAGES)
+                ]
+            )
+        ).alias("s"),
+        F.col("t1"),
+    ).select("s.stage", "s.stage_name", "s.tk", "t1")
+    agg = stage_rows.groupBy("stage", "stage_name").agg(
+        F.count("tk").alias("users"),
+        F.expr("percentile(tk - t1, 0.5)").alias("_med_us"),
+    )
+    w_all = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("stage")
+    return (
+        agg.withColumn(
+            "_u1", F.max(F.when(F.col("stage") == 1, F.col("users"))).over(w_all)
+        )
+        .withColumn("_uprev", F.lag("users").over(w_prev))
+        .select(
+            "stage",
+            "stage_name",
+            "users",
+            stable_round(
+                F.when(F.col("_u1") > 0, F.col("users") / F.col("_u1")), 6
+            ).alias("conv_from_start"),
+            stable_round(
+                F.when(F.col("_uprev") > 0, F.col("users") / F.col("_uprev")),
+                6,
+            ).alias("conv_from_prev"),
+            stable_round(F.col("_med_us") / 1e6, 4).alias(
+                "median_sec_from_start"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+Q_FUNNEL_CONVERSION_SQL = f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_type AS ty FROM events
+    ),
+    s1 AS (SELECT *, MIN(CASE WHEN ty = 'view' THEN tsu END)
+             OVER (PARTITION BY user_id) AS t1 FROM p),
+    s2 AS (SELECT *, MIN(CASE WHEN ty = 'click' AND t1 IS NOT NULL
+                              AND tsu >= t1
+                              AND tsu <= t1 + {FUNNEL_HORIZON_US}
+                         THEN tsu END)
+             OVER (PARTITION BY user_id) AS t2 FROM s1),
+    s3 AS (SELECT *, MIN(CASE WHEN ty = 'purchase' AND t2 IS NOT NULL
+                              AND tsu >= t2
+                              AND tsu <= t1 + {FUNNEL_HORIZON_US}
+                         THEN tsu END)
+             OVER (PARTITION BY user_id) AS t3 FROM s2),
+    u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM s3 GROUP BY user_id),
+    st AS (
+      SELECT 1 AS stage, 'view' AS stage_name, t1 AS tk, t1 FROM u
+      UNION ALL SELECT 2, 'click', t2, t1 FROM u
+      UNION ALL SELECT 3, 'purchase', t3, t1 FROM u
+    ),
+    agg AS (
+      SELECT stage, stage_name, CAST(COUNT(tk) AS BIGINT) AS users,
+             quantile_cont(tk - t1, 0.5) AS med_us
+      FROM st GROUP BY stage, stage_name
+    ),
+    ext AS (
+      SELECT *, MAX(CASE WHEN stage = 1 THEN users END) OVER () AS u1,
+             LAG(users) OVER (ORDER BY stage) AS uprev
+      FROM agg
+    )
+    SELECT stage, stage_name, users,
+           {stable_round_sql('users / NULLIF(u1, 0)', 6)}
+               AS conv_from_start,
+           {stable_round_sql('users / NULLIF(uprev, 0)', 6)}
+               AS conv_from_prev,
+           {stable_round_sql('med_us / 1e6', 4)} AS median_sec_from_start
+    FROM ext ORDER BY stage
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
+    "funnel_conversion": q_funnel_conversion,
     "purchase_attribution": q_purchase_attribution,
     "multi_touch_attribution": q_multi_touch_attribution,
     "signup_conversion": q_signup_conversion,
@@ -856,6 +969,7 @@ QUERIES = {
 
 ORACLES = {
     "hourly_event_counts": Q_HOURLY_SQL,
+    "funnel_conversion": Q_FUNNEL_CONVERSION_SQL,
     "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,
     "multi_touch_attribution": Q_MULTI_TOUCH_SQL,
     "signup_conversion": Q_SIGNUP_CONVERSION_SQL,

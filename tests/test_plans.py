@@ -341,3 +341,13 @@ def test_locf_visible_plan_never_rescans_events(spark, queries):
     release_checkpoints(df)
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_funnel_single_corpus_shuffle_no_join(spark, queries):
+    """The funnel is never a k-way self-join: no Join operator at all, and
+    exactly two hash shuffles — the per-user window pass over the corpus
+    and the 3-row stage rollup. The chained stage Windows share one
+    exchange, and the per-user rollup reuses that partitioning."""
+    plan = explain_str(queries["funnel_conversion"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert n_hash_exchanges(plan) == 2, plan
