@@ -100,6 +100,7 @@ EXTRA = [
     "doc_shard_order",
     "pii_spans",
     "funnel_conversion",
+    "doc_excise_dups",
 ]
 
 

@@ -768,6 +768,132 @@ def _dup_passages_sql() -> str:
     """
 
 
+EXCISE_NGRAM = DECONTAM_NGRAM
+EXCISE_MIN_DF = 2
+
+
+def q_doc_excise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring EXCISION — the removal step of Lee et al. 2021
+    ("Deduplicating Training Data") that ``dup_passages`` only mines: every
+    token covered by a word n-gram occurring in >= MIN_DF distinct
+    documents is cut from the document, and the cleaned text (token-level
+    reconstruction over the normalized token stream, single-space joined)
+    is emitted with exact removal accounting. Overlapping duplicated
+    passages merge naturally: coverage is the distinct union of the
+    per-start token intervals.
+
+    Scale shape (the Lee et al. map-reduce form at bounded n): (1) narrow
+    positional-shingle explode; (2) doc-frequency of per-doc-DISTINCT
+    shingles — ONE map-side-combined shuffle on shingle; (3) positional
+    rows equi-join the duplicated-shingle set on shingle (AQE skew-join
+    handles viral passages; the duplicated set is corpus-sized, so it is
+    NOT broadcast); (4) covered starts collapse per doc — one doc_id
+    shuffle; (5) one join back to the corpus on doc_id (free when the
+    corpus is doc_id-bucketed). Interval merge + token filtering are pure
+    JVM higher-order functions on bounded-length rows — no UDF, no
+    per-row Python."""
+    from job_crawler_spark.functions.compat import bind_once, stable_round
+
+    n = EXCISE_NGRAM
+    docs = _docs(spark, sf_dir)
+
+    def pos_shingles(toks: F.Column) -> F.Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    pos_sh = docs.select(
+        "doc_id",
+        F.posexplode(bind_once(_tokens_col(), pos_shingles)).alias(
+            "p0", "shingle"
+        ),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "shingle")
+    dup_sh = (
+        docs.select("doc_id", F.explode(_ngrams_col(n)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= EXCISE_MIN_DF)
+        .select("shingle")
+    )
+    starts = (
+        pos_sh.join(dup_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    j = docs.select("doc_id", _tokens_col().alias("toks")).join(
+        starts, "doc_id", "left"
+    )
+    m = F.size("toks")
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                st, lambda s: F.sequence(s, F.least(s + F.lit(n - 1), m))
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(covered, i + F.lit(1)),
+    )
+    return j.select(
+        "doc_id",
+        m.alias("n_tokens"),
+        F.size(covered).alias("n_removed"),
+        stable_round(F.size(covered) / m, 6).alias("removed_ratio"),
+        F.array_join(kept, " ").alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+def _doc_excise_dups_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    n = EXCISE_NGRAM
+    joins = " || ' ' || ".join(f"tk[i+{k}]" for k in range(n))
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+        p AS (
+          SELECT doc_id, u.pos AS pos, u.sh AS sh
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, len(tk) - {n - 2}),
+                    i -> {{'pos': i, 'sh': {joins}}})) AS u
+                FROM t WHERE len(tk) >= {n})
+        ),
+        dup AS (
+          SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM p)
+          GROUP BY sh HAVING COUNT(*) >= {EXCISE_MIN_DF}
+        ),
+        s AS (
+          SELECT p.doc_id, list_sort(list(DISTINCT p.pos)) AS starts
+          FROM p JOIN dup USING (sh) GROUP BY p.doc_id
+        ),
+        f AS (
+          SELECT t.doc_id, t.tk, len(t.tk) AS m,
+                 COALESCE(s.starts, []) AS starts
+          FROM t LEFT JOIN s USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, tk, m,
+            list_distinct(flatten(list_transform(starts,
+              x -> range(x, least(x + {n - 1}, m) + 1)))) AS covered
+          FROM f
+        )
+        SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+          CAST(len(covered) AS BIGINT) AS n_removed,
+          {stable_round_sql('len(covered) / m', 6)} AS removed_ratio,
+          COALESCE(array_to_string(
+            list_filter(tk, (x, i) -> NOT list_contains(covered, i)),
+            ' '), '') AS clean_text
+        FROM c ORDER BY doc_id
+    """
+
+
 # Temperature-sampling exponent for the multilingual mixture (XLM-R /
 # mT5 practice: alpha in [0.2, 0.7] flattens the head languages; 0.3 is
 # the common published default).
@@ -2011,6 +2137,7 @@ QUERIES = {
     "lang_mixture_weights": q_lang_mixture_weights,
     "doc_pack_stats": q_doc_pack_stats,
     "dup_passages": q_dup_passages,
+    "doc_excise_dups": q_doc_excise_dups,
     "media_decode_stats": q_media_decode_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2045,6 +2172,7 @@ ORACLES = {
     "lang_mixture_weights": _lang_mixture_sql(),
     "doc_pack_stats": _doc_pack_sql(),
     "dup_passages": _dup_passages_sql(),
+    "doc_excise_dups": _doc_excise_dups_sql(),
     "media_decode_stats": Q_MEDIA_DECODE_SQL,
     "doc_simhash": Q_DOC_SIMHASH_SQL,
     "simhash_dup_pairs": Q_SIMHASH_DUP_PAIRS_SQL,

@@ -351,3 +351,14 @@ def test_funnel_single_corpus_shuffle_no_join(spark, queries):
     plan = explain_str(queries["funnel_conversion"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert n_hash_exchanges(plan) == 2, plan
+
+
+def test_excise_no_python_no_cartesian(spark, queries):
+    """Excision stays JVM-side and join-shaped: the interval merge and
+    token filtering are higher-order functions (no Python-UDF stage), and
+    the duplicated-shingle match is an equi-join, never a cartesian."""
+    plan = explain_str(queries["doc_excise_dups"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
