@@ -838,16 +838,34 @@ def q_doc_excise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.array_contains(covered, i + F.lit(1)),
-    )
-    return j.select(
+
+    # Let-bind the covered-position set: as a free expression inside the
+    # token-filter lambda it would be re-materialized (flatten + distinct +
+    # allocation) once PER TOKEN; bound as a lambda variable it is built
+    # once per row (measured ~14x on the full projection at sf0.1).
+    def build_out(cov: F.Column) -> F.Column:
+        kept = F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.array_contains(cov, i + F.lit(1)),
+        )
+        return F.struct(
+            F.size(cov).alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+
+    sel = j.select(
         "doc_id",
         m.alias("n_tokens"),
-        F.size(covered).alias("n_removed"),
-        stable_round(F.size(covered) / m, 6).alias("removed_ratio"),
-        F.array_join(kept, " ").alias("clean_text"),
+        bind_once(covered, build_out).alias("_o"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_o.n_removed").alias("n_removed"),
+        stable_round(F.col("_o.n_removed") / F.col("n_tokens"), 6).alias(
+            "removed_ratio"
+        ),
+        F.col("_o.clean_text").alias("clean_text"),
     ).orderBy("doc_id")
 
 
