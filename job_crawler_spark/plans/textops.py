@@ -510,6 +510,85 @@ _DOC_SHARD_ORDER_SQL = f"""
 """
 
 
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir"): each item draws key
+# k_i = -ln(u_i) / w_i (the exponential-race form; u_i uniform in (0,1)),
+# and the K SMALLEST keys are the sample — provably equivalent to
+# sequential weighted draws without replacement. Seeded md5 makes u_i
+# engine- and run-independent.
+WSAMPLE_SEED = "wsample0"
+WSAMPLE_K = 200
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    quality-weighted corpus-selection staple (sample documents with
+    probability proportional to a quality/length weight, no duplicates):
+    Efraimidis-Spirakis exponential-race keys k = -ln(u)/w with u drawn
+    from a seeded md5 (NOT rand(), so any engine reproduces the exact
+    sample and reruns are stable), w = max(n_chars, 1). The K smallest
+    keys win.
+
+    Scale shape: the key is per-row arithmetic inside the scan stage
+    (narrow, no shuffle) and selection is a top-K — Spark plans
+    TakeOrderedAndProject (per-partition bounded heaps + one driver-side
+    merge of K rows), never a global sort; plan-pinned. u = (bucket+0.5)/2^32
+    is exact in both engines (integer + power-of-two divide), so selection
+    order is identical everywhere; ln() may differ in the last ulp across
+    libm implementations, which cannot flip an order gap of ~1/n and is
+    absorbed by the 9-digit stable round on output."""
+    from job_crawler_spark.functions.compat import stable_round
+
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(WSAMPLE_SEED),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (bucket + F.lit(0.5)) / F.lit(4294967296.0)
+    key = stable_round(-F.log(u) / w, 9)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight_chars"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+def _doc_weighted_sample_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    u = (
+        "((CAST(('0x' || substring(md5('"
+        + WSAMPLE_SEED
+        + ":' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) "
+        "/ 4294967296.0)"
+    )
+    key = stable_round_sql(f"-ln({u}) / GREATEST(n_chars, 1)", 9)
+    return f"""
+        SELECT doc_id, lang, n_chars AS weight_chars,
+               {key} AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT {WSAMPLE_K}
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic STRATIFIED sampling — the training-mix rebalancing
     staple: each language keeps a configured per-mille of its documents,
@@ -2150,6 +2229,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
     "doc_stratified_sample": q_stratified_sample,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_length_quantiles": q_doc_length_quantiles,
     "lang_mixture_weights": q_lang_mixture_weights,
@@ -2185,6 +2265,7 @@ ORACLES = {
     "doc_length_ranks": _DOC_LENGTH_RANKS_SQL,
     "doc_shard_order": _DOC_SHARD_ORDER_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
+    "doc_weighted_sample": _doc_weighted_sample_sql(),
     "doc_decontaminate": _DOC_DECONTAM_SQL,
     "doc_length_quantiles": _doc_length_quantiles_sql(),
     "lang_mixture_weights": _lang_mixture_sql(),

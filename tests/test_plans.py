@@ -362,3 +362,16 @@ def test_excise_no_python_no_cartesian(spark, queries):
     assert "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_sample_topk_shuffle_free(spark, queries):
+    """Efraimidis-Spirakis selection is a scan-stage key + top-K: the
+    whole plan is a pruned 3-column parquet scan, one codegen projection,
+    and TakeOrderedAndProject (per-partition bounded heaps merged on the
+    driver) — ZERO shuffles, no global sort, no Python stage."""
+    plan = explain_str(queries["doc_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_hash_exchanges(plan) == 0, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan, plan

@@ -216,3 +216,48 @@ def test_length_quantiles_approx_swapin(spark):
     for r in both.collect():
         assert abs(r.a50 - r.exact50) <= 0.02 * r.exact50, r
         assert abs(r.a99 - r.exact99) <= 0.05 * r.exact99, r
+
+
+def test_weighted_sample_matches_python_es(spark):
+    """The gated Efraimidis-Spirakis sample must equal a third-engine
+    (pure Python hashlib/math) implementation of the same spec: seeded
+    md5 -> uniform -> k = -ln(u)/w, K smallest keys win, (key, doc_id)
+    order. Also pins the selection-probability direction: the max-weight
+    doc is overwhelmingly more likely IN than a min-weight doc across
+    seeds (here: checked on the fixed gate seed by construction)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from job_crawler_spark.plans.textops import (
+        WSAMPLE_K,
+        WSAMPLE_SEED,
+        q_doc_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+    def es_key(doc_id: int, n_chars: int) -> float:
+        h = hashlib.md5(f"{WSAMPLE_SEED}:{doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        k = -math.log(u) / max(n_chars, 1)
+        return math.floor(k * 1e9 + 0.5) / 1e9
+
+    expect = sorted(
+        ((es_key(d, n), d) for d, n in rows)
+    )[:WSAMPLE_K]
+    got = [
+        (r.sample_key, r.doc_id)
+        for r in q_doc_weighted_sample(spark, sf).collect()
+    ]
+    assert got == expect
+    # weighting direction: expected key E[k] = 1/w, so the sampled set's
+    # mean weight must exceed the corpus mean (weighted draws favor long docs)
+    by_doc = dict(rows)
+    mean_sampled = sum(by_doc[d] for _, d in got) / len(got)
+    mean_corpus = sum(n for _, n in rows) / len(rows)
+    assert mean_sampled > mean_corpus
