@@ -53,6 +53,7 @@ def _plan_modules():
         crawlops,
         events_plans,
         frameworks_plans,
+        graph_plans,
         pii_plans,
         relational,
         similarity,
@@ -64,6 +65,7 @@ def _plan_modules():
         crawlops,
         events_plans,
         frameworks_plans,
+        graph_plans,
         pii_plans,
         relational,
         similarity,

@@ -101,6 +101,8 @@ EXTRA = [
     "pii_spans",
     "funnel_conversion",
     "doc_excise_dups",
+    "doc_weighted_sample",
+    "graph_authority_rank",
 ]
 
 

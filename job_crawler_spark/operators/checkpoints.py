@@ -49,11 +49,41 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return ck
 
 
+def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cache ``df`` (Dataset default MEMORY_AND_DISK) under the same
+    release contract as :func:`tracked_local_checkpoint`.
+
+    Why a second mechanism: PySpark's ``localCheckpoint`` yields a
+    ``LogicalRDD`` with ``UnknownPartitioning`` — a downstream join on the
+    checkpointed frame's repartition key re-exchanges it every time. A
+    cached ``InMemoryRelation`` instead PRESERVES the child plan's output
+    partitioning and ordering (verified on 4.1.2: joining a persisted
+    ``repartition(k).sortWithinPartitions(k)`` frame on ``k`` plans no
+    Exchange and no Sort above the InMemoryTableScan). Iterative
+    operators that need a frame to stay co-partitioned across iterations
+    (PageRank's edge frame) want THIS; use ``tracked_local_checkpoint``
+    when the goal is lineage truncation.
+
+    With ``eager`` the cache is materialized immediately (one count), so
+    iteration timing is not polluted by a lazy first-build."""
+    ck = df.persist()
+    if eager:
+        ck.count()
+    ck._graft_cached = True
+    return ck
+
+
 def release(*frames: DataFrame) -> None:
-    """Free the checkpoint blocks of frames built by
-    :func:`tracked_local_checkpoint` (non-blocking). Frames without
-    tracking info (or whose blocks are already gone) are skipped."""
+    """Free the storage of frames built by :func:`tracked_local_checkpoint`
+    (underlying-RDD unpersist, non-blocking — Dataset.unpersist is a
+    placebo there) or :func:`tracked_persist` (Dataset.unpersist, blocking
+    so storage-accounting tests observe the release synchronously). Frames
+    without tracking info (or whose blocks are already gone) are skipped."""
     for frame in frames:
+        if getattr(frame, "_graft_cached", False):
+            frame.unpersist(True)
+            frame._graft_cached = False
+            continue
         ids = getattr(frame, "_graft_ckpt_rdds", None)
         if not ids:
             continue

@@ -375,3 +375,44 @@ def test_weighted_sample_topk_shuffle_free(spark, queries):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan, plan
+
+
+def test_graph_rank_cached_sides_join_without_exchange(spark, queries):
+    """PageRank's scale contract: the cached edge frame (partitioned +
+    sorted on src) and cached node frame (on node) enter their per-
+    iteration merge joins DIRECTLY — no Exchange, no Sort above any
+    InMemoryTableScan. localCheckpoint would break this (LogicalRDD
+    reports UnknownPartitioning); this pin is the regression guard for
+    that swap. Broadcast is disabled so small-scale AQE cannot hide a
+    shuffled join behind a broadcast."""
+    import re
+
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["graph_authority_rank"](spark, SF_DIR)
+        plan = explain_str(df)
+    finally:
+        release_checkpoints(df)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # every InMemoryTableScan in the tree is consumed bare or through a
+    # Filter — never re-sorted or re-exchanged
+    tree = plan.split("\n\n")[0]
+    for m in re.finditer(r"(?:Exchange|Sort) \(\d+\)\n(.*)", tree):
+        nxt = m.group(1)
+        assert "InMemoryTableScan" not in nxt, plan
+    # the three per-iteration joins are merge joins over the cache
+    assert re.search(
+        r"SortMergeJoin LeftOuter \(\d+\)\n[ :]*(?::-|\+-) "
+        r"InMemoryTableScan",
+        tree,
+    ), plan
+    assert re.search(
+        r"Filter \(\d+\)\n[ :]*\+- InMemoryTableScan", tree
+    ), plan
+    # dangling-mass crossJoin is the 1-row broadcast, never a cartesian
+    assert "CartesianProduct" not in plan, plan
+    # no Python stage anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
