@@ -57,6 +57,7 @@ def _plan_modules():
         pii_plans,
         relational,
         similarity,
+        sketch_plans,
         textops,
         tpch,
     )
@@ -69,6 +70,7 @@ def _plan_modules():
         pii_plans,
         relational,
         similarity,
+        sketch_plans,
         textops,
         tpch,
     ]

@@ -103,6 +103,8 @@ EXTRA = [
     "doc_excise_dups",
     "doc_weighted_sample",
     "graph_authority_rank",
+    "cms_heavy_hitters",
+    "hll_user_cardinality",
 ]
 
 
