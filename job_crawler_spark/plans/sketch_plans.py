@@ -44,6 +44,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded per-partition heaps, no global sort). The exact true_count
     column is gate-scale verification, not part of the production shape.
     """
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -51,9 +55,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).filter(F.col("token") != "")
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # tf feeds BOTH the cell build and the point queries; without a
+    # checkpoint Spark executes the corpus scan + tf shuffle twice (once
+    # per consumer). The checkpointed frame is vocab-sized.
+    tf = tracked_local_checkpoint(tf)
     probes = cms_probes(tf)
     est = cms_estimates(probes, cms_cells(probes))
-    return (
+    out = (
         est.select(
             "token",
             "est_count",
@@ -63,6 +71,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "token")
         .limit(CMS_TOP_K)
     )
+    out._graft_checkpoints = [tf]
+    return out
 
 
 def _cms_sql() -> str:
@@ -116,15 +126,23 @@ def q_hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count here is gate-scale verification (it shares the one
     distinct shuffle); production drops it and keeps only the register
     frame."""
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     d = ev.select(
         "event_type", F.col("user_id").cast("string").alias("k")
     ).distinct()
+    # the distinct frame feeds BOTH the exact count (gate verification)
+    # and the register build; checkpoint it so the events scan + distinct
+    # exchange run once, not once per consumer
+    d = tracked_local_checkpoint(d)
     exact = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     est = hll_estimate(
         hll_registers(d, F.col("k"), ["event_type"]), ["event_type"]
     )
-    return (
+    out = (
         exact.join(est, "event_type")
         .select(
             "event_type",
@@ -139,6 +157,8 @@ def q_hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    out._graft_checkpoints = [d]
+    return out
 
 
 def _hll_sql() -> str:

@@ -72,7 +72,8 @@ def test_query_checkpoints_released_end_to_end(spark):
     for name in ("emb_ivf_topk", "emb_neardup_pairs_ann", "dup_clusters",
                  "star_cluster_labels", "dup_keep_canonical",
                  "doc_unigram_freq", "cluster_split_assign",
-                 "hourly_value_locf", "graph_authority_rank"):
+                 "hourly_value_locf", "graph_authority_rank",
+                 "cms_heavy_hitters", "hll_user_cardinality"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

@@ -416,3 +416,38 @@ def test_graph_rank_cached_sides_join_without_exchange(spark, queries):
     assert "CartesianProduct" not in plan, plan
     # no Python stage anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_sketch_single_source_broadcast_cells(spark, queries):
+    """CMS scale contract: the corpus scan + term-frequency shuffle run
+    ONCE (checkpointed — zero parquet scans in the visible plan), the
+    depth*width cell grid is built by a map-side-combined aggregate and
+    BROADCAST back for point queries (no shuffled join on cell
+    coordinates), and top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["cms_heavy_hitters"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_hll_register_aggregate_is_map_side_merged(spark, queries):
+    """HLL scale contract: the shared distinct frame is checkpointed (no
+    events rescan in the visible plan) and the register build is a
+    partial_max-combined hash aggregate — the shuffle moves registers,
+    not users. No Python stage anywhere."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["hll_user_cardinality"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
