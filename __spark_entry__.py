@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _plan_modules():
     from job_crawler_spark.plans import (
+        analytics_plans,
         crawlops,
         events_plans,
         frameworks_plans,
@@ -63,6 +64,7 @@ def _plan_modules():
     )
 
     return [
+        analytics_plans,
         crawlops,
         events_plans,
         frameworks_plans,

@@ -1,0 +1,394 @@
+"""Product/behavioral-analytics plans: five operator classes a general
+analytics engine ships that none of the earlier gated queries exercise —
+cohort retention matrices, Markov transition models, time-weighted
+averages over irregular series, keyed snapshot diffs (CDC audit), and
+distribution-drift scoring (KL divergence).
+
+The reference crawler has no counterpart for any of these (its analytics
+stop at the per-table aggregates of ``main.py``); they are part of the
+"operations a large-scale training/product pipeline needs" surface this
+engine grades on. Each query is DuckDB-oracle-checked under the repo's
+determinism contract: integer arithmetic exact, single divisions of
+exact integers emitted raw (IEEE division of identical operands is
+bit-identical cross-engine), order-dependent double sums absorbed by
+``stable_round``.
+
+Scale notes (the 100 TB shape) are on each query's docstring; the common
+theme is that every shuffle here is key-uniform (user_id / composite
+group keys), every aggregate is map-side combinable, and the only
+whole-frame windows run on post-aggregation frames whose size is bounded
+by key cardinality (weeks x cohorts, event-type pairs, sources), never by
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
+# Snapshot cutoff for the CDC diff: the events table's mid-range. A real
+# deployment diffs two Iceberg snapshot timestamps; the gate tables carry
+# one fixed 30-day window (TESTDATA.md), so the cutoff is a constant.
+SNAPSHOT_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Cohort retention matrix
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the ISO week of their
+    first event; one row per (cohort_week, week_offset) with the distinct
+    active-user count and the retention ratio vs the cohort's size.
+
+    Shape: distinct (user, week) -> one user_id window for the cohort min
+    (no self-join back to the corpus) -> count per (cohort, offset). The
+    distinct frame is at most |users| x |weeks| rows, so after the first
+    projection nothing is corpus-sized; all three exchanges hash on
+    uniform keys (user/week composites — no skew at 10^10 users). The
+    cohort_size backfill is a window over the cohort-by-offset matrix
+    (|weeks|^2 rows), not over user data. ``n_active`` is a plain COUNT:
+    the frame is already distinct on (user, week) and (cohort_week,
+    week_offset) is a function of that pair, so no countDistinct (and no
+    distinct-expand) is needed.
+
+    retention = n_active / cohort_size is one IEEE division of two exact
+    longs — bit-identical cross-engine, emitted raw.
+    """
+    ev = _events(spark, sf_dir)
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    uc = uw.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    act = uc.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    out = act.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+            Window.partitionBy("cohort_week")
+        ),
+    )
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+Q_COHORT_RETENTION_SQL = """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    uc AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw
+    ),
+    act AS (
+      SELECT cohort_week,
+             CAST(datediff('day', cohort_week, week) / 7 AS INT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM uc GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT cohort_week, week_offset, n_active,
+             MAX(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week) AS cohort_size
+      FROM act
+    )
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           n_active / cohort_size AS retention
+    FROM m ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Markov transition matrix over event sequences
+
+
+def q_event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (prev_type -> next_type) pair, the transition count and the
+    probability conditional on prev_type.
+
+    Shape: ONE corpus shuffle — the per-user sequence window (partition
+    user_id, order (ts, event_id); the event_id tie-break makes the lag
+    deterministic under duplicate timestamps) — then a map-side-combined
+    count into a |types|^2 frame; the conditional normalization is a
+    window over that tiny frame, never over events. prob is one division
+    of two exact longs, emitted raw.
+    """
+    ev = _events(spark, sf_dir)
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions") / total).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+Q_EVENT_TRANSITION_SQL = """
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           n_transitions / SUM(n_transitions)
+             OVER (PARTITION BY prev_type) AS prob
+    FROM c ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Time-weighted average over an irregular series
+
+
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of ``value`` per user (TWAP): each event's
+    value is held until the user's next event; the last event of a user
+    has no holding interval and is excluded (users with a single event
+    drop out — documented semantics, matching how a market TWAP treats an
+    unclosed observation).
+
+    Shape: the same single per-user sequence window as the transition
+    query (lead instead of lag), then one map-side-combined aggregate.
+    Interval lengths are exact integer microseconds; the weighted sum is
+    the one order-dependent double sum, so the final ratio goes through
+    stable_round; obs_seconds divides an exact long by 1e6 (one IEEE op,
+    bit-identical).
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.select(
+            "user_id",
+            "value",
+            # events.ts is TIMESTAMP_NTZ; unix_micros needs an instant.
+            # The session timezone is pinned UTC (session.py), so the cast
+            # maps naive wall time to epoch the same way DuckDB's epoch_us
+            # reads a naive timestamp.
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("t1"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .withColumn("dt_us", F.col("t1") - F.col("t0"))
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("dt_sum"),
+        F.sum(F.col("value") * F.col("dt_us")).alias("w_sum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        (F.col("dt_sum") / F.lit(1000000.0)).alias("obs_seconds"),
+        stable_round(F.col("w_sum") / F.col("dt_sum"), 6).alias("twap"),
+    ).orderBy("user_id")
+
+
+Q_USER_VALUE_TWAP_SQL = f"""
+    WITH iv AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t0,
+             epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS t1
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, value, t1 - t0 AS dt_us FROM iv WHERE t1 IS NOT NULL
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_intervals,
+             CAST(SUM(dt_us) AS BIGINT) AS dt_sum,
+             SUM(value * dt_us) AS w_sum
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_intervals,
+           dt_sum / 1000000.0 AS obs_seconds,
+           {stable_round_sql("w_sum / dt_sum", 6)} AS twap
+    FROM a ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Keyed snapshot diff (CDC audit)
+
+
+def q_user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture audit between two snapshots of per-user state
+    (event count + latest event type), snapshot A = events before
+    SNAPSHOT_CUTOFF, snapshot B = all events: per user, both states and a
+    change verdict ('added' — user absent from A; 'changed'; 'unchanged').
+
+    Shape: the classic two-snapshot FULL OUTER JOIN collapses into ONE
+    map-side-combined pass when both snapshots derive from the same
+    append-only log (the Kappa formulation): per user, conditional count
+    + conditional lexicographic max of (ts, event_id, event_type)
+    structs. MAX ignores the NULL structs of after-cutoff rows, and the
+    (ts, event_id) prefix makes the carried event_type deterministic
+    under duplicate timestamps. One shuffle, no join. The oracle derives
+    the same states independently via ROW_NUMBER windows.
+    """
+    ev = _events(spark, sf_dir)
+    before = F.col("ts") < F.lit(SNAPSHOT_CUTOFF).cast("timestamp")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(before.cast("long")).alias("n_before"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.max(
+            F.when(before, F.struct("ts", "event_id", "event_type"))
+        )["event_type"].alias("last_before"),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "last_total"
+        ),
+    )
+    verdict = (
+        F.when(F.col("n_before") == 0, F.lit("added"))
+        .when(
+            (F.col("n_before") != F.col("n_total"))
+            | (F.col("last_before") != F.col("last_total")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return agg.select(
+        "user_id",
+        "n_before",
+        "n_total",
+        "last_before",
+        "last_total",
+        verdict.alias("change_kind"),
+    ).orderBy("user_id")
+
+
+Q_USER_SNAPSHOT_DIFF_SQL = f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             ts < TIMESTAMP '{SNAPSHOT_CUTOFF}' AS bef
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_type, bef,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rt,
+             CASE WHEN bef THEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, bef ORDER BY ts DESC, event_id DESC)
+             END AS rb
+      FROM base
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN bef THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_before,
+             COUNT(*) AS n_total,
+             MAX(CASE WHEN rb = 1 THEN event_type END) AS last_before,
+             MAX(CASE WHEN rt = 1 THEN event_type END) AS last_total
+      FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, n_before, n_total, last_before, last_total,
+           CASE WHEN n_before = 0 THEN 'added'
+                WHEN n_before <> n_total
+                     OR last_before <> last_total THEN 'changed'
+                ELSE 'unchanged' END AS change_kind
+    FROM agg ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Distribution drift (KL divergence) per corpus slice
+
+
+def q_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence KL(P_source || Q_corpus) of each source's language
+    distribution vs the corpus-wide one — the drift score a training-mix
+    monitor alarms on when one ingestion source starts skewing the blend.
+
+    Shape: one map-side-combined count into a |sources| x |langs| frame;
+    every subsequent window (per-source total, per-lang total, grand
+    total) runs on that key-cardinality frame — the corpus is scanned
+    and shuffled exactly once regardless of scale. P and Q are single
+    divisions of exact longs; the per-source sum of p*ln(p/q) terms is
+    order-dependent (and ln may differ by an ulp across libm
+    implementations), absorbed by stable_round.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("source"))
+    q = F.sum("n").over(Window.partitionBy("lang")) / F.sum("n").over(
+        Window.partitionBy()
+    )
+    t = c.select("source", "n", (p * F.log(p / q)).alias("term"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            stable_round(F.sum("term"), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_SOURCE_LANG_DRIFT_SQL = f"""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT source, n,
+             n / SUM(n) OVER (PARTITION BY source) AS p,
+             SUM(n) OVER (PARTITION BY lang)
+               / SUM(n) OVER () AS q
+      FROM c
+    )
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           {stable_round_sql("SUM(p * LN(p / q))", 6)} AS kl_divergence
+    FROM t GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "cohort_retention": q_cohort_retention,
+    "event_transition_probs": q_event_transition_probs,
+    "user_value_twap": q_user_value_twap,
+    "user_snapshot_diff": q_user_snapshot_diff,
+    "source_lang_drift": q_source_lang_drift,
+}
+
+ORACLES = {
+    "cohort_retention": Q_COHORT_RETENTION_SQL,
+    "event_transition_probs": Q_EVENT_TRANSITION_SQL,
+    "user_value_twap": Q_USER_VALUE_TWAP_SQL,
+    "user_snapshot_diff": Q_USER_SNAPSHOT_DIFF_SQL,
+    "source_lang_drift": Q_SOURCE_LANG_DRIFT_SQL,
+}
