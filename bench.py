@@ -105,6 +105,11 @@ EXTRA = [
     "graph_authority_rank",
     "cms_heavy_hitters",
     "hll_user_cardinality",
+    "cohort_retention",
+    "event_transition_probs",
+    "user_value_twap",
+    "user_snapshot_diff",
+    "source_lang_drift",
 ]
 
 
