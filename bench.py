@@ -110,6 +110,8 @@ EXTRA = [
     "user_value_twap",
     "user_snapshot_diff",
     "source_lang_drift",
+    "fuzzy_name_pairs",
+    "user_frecency",
 ]
 
 

@@ -947,6 +947,58 @@ Q_FUNNEL_CONVERSION_SQL = f"""
 """
 
 
+# Frecency reference instant: 2024-02-01T00:00:00Z in epoch microseconds,
+# just past the events table's fixed 30-day window so every age is positive.
+_FRECENCY_REF_US = 1_706_745_600_000_000
+_FRECENCY_HALF_LIFE_DAYS = 7.0
+
+
+def q_user_frecency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay frecency score per user: each event contributes
+    ``2^(-age_days / half_life)`` toward its user's score — the
+    recency-weighted accumulation a crawl frontier uses to prioritize
+    revisits (recent activity dominates, old activity decays geometrically
+    but never to zero). Distinct from TWAP (level estimation between
+    samples): frecency is additive evidence weighting.
+
+    Scale shape: ONE map-side-combinable hash aggregate on user_id — the
+    decay is computed against a fixed reference instant, so the per-event
+    terms are independent and the sum is fully associative (and mergeable
+    across snapshots: rescaling a stored score by ``2^(-delta/h)`` rolls
+    the reference forward without touching history). Determinism: ages
+    are exact integer microsecond differences; the two divisions and the
+    pow are per-row on identical operands (bit-identical or <= 1 ulp in
+    either engine); the order-dependent double SUM is absorbed by
+    ``stable_round`` per the repo contract."""
+    ev = _events(spark, sf_dir)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    age_days = (F.lit(_FRECENCY_REF_US) - tsu) / F.lit(86400e6)
+    term = F.pow(F.lit(2.0), -age_days / F.lit(_FRECENCY_HALF_LIFE_DAYS))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            stable_round(F.sum(term), 6).alias("frecency"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_USER_FRECENCY_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(ts) AS last_ts,
+       {stable_round_sql(
+           "SUM(POW(2.0, -((" + str(_FRECENCY_REF_US)
+           + " - epoch_us(ts)) / 86400e6) / "
+           + str(_FRECENCY_HALF_LIFE_DAYS) + "))", 6)} AS frecency
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "funnel_conversion": q_funnel_conversion,
@@ -965,6 +1017,7 @@ QUERIES = {
     "session_window_totals": q_session_window_totals,
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
+    "user_frecency": q_user_frecency,
 }
 
 ORACLES = {
@@ -985,4 +1038,5 @@ ORACLES = {
     "session_window_totals": Q_SESSION_WINDOW_SQL,
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
+    "user_frecency": Q_USER_FRECENCY_SQL,
 }

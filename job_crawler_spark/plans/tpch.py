@@ -463,6 +463,69 @@ Q_MIN_PRICE_SQL = """
 """
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance similarity self-join over the distinct part
+    names: every unordered name pair within levenshtein distance 2, with
+    each name's part count — character-level fuzzy matching (typo'd /
+    template-drifted names), the class the token-set dedup family
+    (MinHash/SimHash/word-shingle Jaccard) cannot express.
+
+    Built on :func:`editdist_join` (q-gram prefix filter, Ed-Join shape —
+    see operators/editdist.py for the scale analysis): the only
+    corpus-sized shuffles are the signature build, the signature-bucket
+    equi-join, and the pair distinct — never a cartesian or nested-loop
+    join (plan-pinned). The oracle is the naive quadratic join, fine at
+    gate scale, so any pair the prefix filter missed (or invented) is a
+    hash mismatch."""
+    from job_crawler_spark.operators.editdist import editdist_join
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    pairs = editdist_join(names, "p_name", max_dist=2)
+    out = (
+        pairs.join(
+            names.select(
+                F.col("p_name").alias("p_name_a"),
+                F.col("n_parts").alias("n_parts_a"),
+            ),
+            "p_name_a",
+        )
+        .join(
+            names.select(
+                F.col("p_name").alias("p_name_b"),
+                F.col("n_parts").alias("n_parts_b"),
+            ),
+            "p_name_b",
+        )
+        .select(
+            F.col("p_name_a").alias("name_a"),
+            F.col("p_name_b").alias("name_b"),
+            F.col("dist").cast("long").alias("dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
+    out._graft_checkpoints = getattr(pairs, "_graft_checkpoints", [])
+    return out
+
+
+Q_FUZZY_NAME_PAIRS_SQL = """
+WITH names AS (
+    SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n_parts AS n_parts_a,
+       b.n_parts AS n_parts_b
+FROM names a
+JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_late_ship_exists": q_late_ship_exists,
@@ -476,6 +539,7 @@ QUERIES = {
     "tpch_big_orders": q_big_orders,
     "tpch_rollup_revenue": q_rollup_revenue,
     "tpch_status_cube": q_status_cube,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }
 
 ORACLES = {
@@ -491,4 +555,5 @@ ORACLES = {
     "tpch_big_orders": Q_BIG_ORDERS_SQL,
     "tpch_rollup_revenue": Q_ROLLUP_REVENUE_SQL,
     "tpch_status_cube": Q_STATUS_CUBE_SQL,
+    "fuzzy_name_pairs": Q_FUZZY_NAME_PAIRS_SQL,
 }

@@ -73,7 +73,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "star_cluster_labels", "dup_keep_canonical",
                  "doc_unigram_freq", "cluster_split_assign",
                  "hourly_value_locf", "graph_authority_rank",
-                 "cms_heavy_hitters", "hll_user_cardinality"):
+                 "cms_heavy_hitters", "hll_user_cardinality",
+                 "fuzzy_name_pairs"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

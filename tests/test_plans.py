@@ -451,3 +451,30 @@ def test_hll_register_aggregate_is_map_side_merged(spark, queries):
     assert "Scan parquet" not in plan, plan
     assert "partial_max" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_fuzzy_pairs_no_cartesian_no_python(spark, queries):
+    """Edit-distance join scale contract: candidates come from the
+    signature-bucket EQUI-join over the checkpointed signature frame —
+    never a cartesian/nested-loop product, never a Python stage; the
+    banded levenshtein verify is a plain JVM filter."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["fuzzy_name_pairs"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_user_frecency_single_map_side_combined_shuffle(spark, queries):
+    """Frecency is ONE user-keyed hash aggregate with the decay terms
+    summed map-side (partial_sum) — no window, no join, one shuffle on a
+    uniform key."""
+    plan = explain_str(queries["user_frecency"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
