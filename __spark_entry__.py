@@ -57,6 +57,7 @@ def _plan_modules():
         graph_plans,
         pii_plans,
         relational,
+        retrieval_plans,
         similarity,
         sketch_plans,
         textops,
@@ -71,6 +72,7 @@ def _plan_modules():
         graph_plans,
         pii_plans,
         relational,
+        retrieval_plans,
         similarity,
         sketch_plans,
         textops,

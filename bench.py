@@ -112,6 +112,7 @@ EXTRA = [
     "source_lang_drift",
     "fuzzy_name_pairs",
     "user_frecency",
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,169 @@
+"""Gated BM25 full-text retrieval over the ``documents`` table.
+
+The search-ranking operator class: given a literal set of keyword queries,
+score every document with Okapi BM25 (Robertson et al., TREC-3; the
+Lucene ``k1``/``b`` practical form with the non-negative
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` idf) and return the top-k
+documents per query. This is the ranking step a crawl corpus feeds once
+parsed — the reference exposes keyword search over stored jobs
+(``main.py:471-530`` search_jobs LIKE-filtering); BM25 is the
+scale-correct generalization of that contains-match to ranked retrieval.
+
+Cross-engine determinism contract (same as the KL-drift query): every
+arithmetic step is an identical IEEE expression tree in Spark and DuckDB;
+``ln`` may differ in the last ulp between libm and the JVM, so the
+summed score is passed through ``stable_round(_, 6)`` BEFORE ranking and
+ties break on doc_id — the emitted rank is a pure function of the rounded
+score in both engines.
+
+Scale shape (the 100 TB plan, pinned in tests/test_plans.py):
+
+- ONE corpus scan, ONE token explode, ONE (doc_id, term) hash aggregate —
+  the tf frame is tracked-localCheckpointed so its two consumers (document
+  lengths, query-term match) do not re-run the scan+shuffle.
+- Everything query-sided is tiny and broadcast: the literal query-term
+  table, the per-term df aggregate (query-vocab-sized), and the 1-row
+  (N, avgdl) corpus stats — the corpus never shuffles on term.
+- Per-(query, doc) scoring aggregates on (query_id, doc_id) —
+  map-side-combinable sum over at most |query| rows each.
+- Top-k per query via a rank window over the scored frame; with O(1)
+  queries the window partitions are corpus-wide, so at 100 TB the scored
+  frame is first cut by a broadcast per-query score floor (score > 0
+  already prunes to docs sharing a term) — documented here, exercised at
+  gate scale by the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_crawler_spark.functions.compat import stable_round, stable_round_sql
+
+# Disjoint term sets so per-term df is independent of which query asks.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("fast", "hash", "join"),
+    2: ("window", "query", "sort"),
+    3: ("stream", "batch", "merge", "spark"),
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per keyword query by BM25, deterministic ranks."""
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-length aggregate and the query-term match;
+    # checkpoint so the corpus scan + token shuffle run once, not twice.
+    tf = tracked_local_checkpoint(tf)
+
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # exact-integer corpus stats; the single division is correctly rounded
+    # and therefore engine-identical (no AVG: its internal order is opaque)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
+        "query_id INT, term STRING",
+    )
+    tf_q = tf.join(F.broadcast(qterms), "term")
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf_q.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            stable_round(F.sum(idf * norm), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "n_terms", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+    out._graft_checkpoints = [tf]
+    return out
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in BM25_QUERIES.items()
+        for t in terms
+    )
+    score = stable_round_sql(
+        "SUM(LN(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * tf * ({BM25_K1} + 1)"
+        f" / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))",
+        6,
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        qterms(query_id, term) AS (VALUES {qvals}),
+        tf_q AS (SELECT query_id, doc_id, tf.term, tf
+                 FROM tf JOIN qterms USING (term)),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf_q GROUP BY term),
+        scored AS (
+          SELECT query_id, doc_id, COUNT(*) AS n_terms, {score} AS score
+          FROM tf_q
+          JOIN dl USING (doc_id)
+          JOIN dfreq USING (term)
+          CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, doc_id, n_terms, score, rank
+        FROM r WHERE rank <= {BM25_TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+}
+
+ORACLES = {
+    "bm25_topk": _bm25_sql(),
+}

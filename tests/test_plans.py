@@ -478,3 +478,21 @@ def test_user_frecency_single_map_side_combined_shuffle(spark, queries):
     assert n_hash_exchanges(plan) == 1, plan
     assert "partial_sum" in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_bm25_scan_once_query_side_broadcast(spark, queries):
+    """BM25 scale contract: the tf frame is checkpointed so the visible
+    plan re-scans nothing (corpus scan + token shuffle run exactly once);
+    the query-term table, per-term df, and (N, avgdl) stats all BROADCAST
+    (the corpus never shuffles on term); the per-(query, doc) score sum is
+    map-side combined; no Python stage."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["bm25_topk"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
