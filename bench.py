@@ -113,6 +113,7 @@ EXTRA = [
     "fuzzy_name_pairs",
     "user_frecency",
     "bm25_topk",
+    "event_affinity_rules",
 ]
 
 

@@ -377,12 +377,139 @@ Q_SOURCE_LANG_DRIFT_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Association-rule mining (pairwise co-occurrence lift)
+
+
+def q_event_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over per-user event-type sets: for every
+    unordered type pair (a < b) that co-occurs in at least one user's
+    basket, emit co-occurrence support, both directional confidences, and
+    lift — the set-co-occurrence operator class (`event_transition_probs`
+    covers SEQUENTIAL bigrams; this covers unordered joint incidence, the
+    Apriori/market-basket primitive).
+
+    Scale shape: ONE user-keyed hash aggregate builds the basket
+    (``collect_set`` dedups in-agg — no pre-distinct shuffle), sorted for
+    determinism; the i<j pair expansion is a JVM higher-order transform
+    bounded by |event-type vocab|^2 per user (the market-basket regime:
+    vocab is small, users are many — never a self-join, never corpus^2);
+    pair counts are one map-side-combined hash aggregate on (a, b); the
+    per-type marginals and the 1-row user count broadcast back onto the
+    |vocab|^2-sized pair frame. The corpus is scanned once and shuffled
+    once on the uniform user key.
+
+    Determinism: counts are exact integers; support/confidence are single
+    divisions of exact operands (bit-identical cross-engine); lift is the
+    two-division product ``(n_ab/n_a) * (n_users/n_b)`` — identical
+    expression tree in the oracle — wrapped in ``stable_round`` per the
+    repo contract.
+    """
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    baskets = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    # baskets feeds the pair expansion, the per-type marginals, and the
+    # user count; checkpoint so the events scan + user shuffle run once.
+    baskets = tracked_local_checkpoint(baskets)
+
+    ts_col = F.col("types")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ts_col,
+                    lambda x, i: F.transform(
+                        F.slice(
+                            ts_col, i + 2, F.greatest(F.size(ts_col) - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+
+    marg = (
+        baskets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    n_users = baskets.agg(F.count(F.lit(1)).alias("n_users"))
+
+    out = (
+        n_ab.join(
+            F.broadcast(marg.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_users",
+            stable_round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            stable_round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+            stable_round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+            stable_round(
+                (F.col("n_ab") / F.col("n_a")) * (F.col("n_users") / F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )
+    out._graft_checkpoints = [baskets]
+    return out
+
+
+Q_EVENT_AFFINITY_SQL = f"""
+    WITH baskets AS (
+      SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT a.t AS a, b.t AS b
+      FROM (SELECT user_id, unnest(types) AS t FROM baskets) a
+      JOIN (SELECT user_id, unnest(types) AS t FROM baskets) b
+        ON a.user_id = b.user_id AND a.t < b.t
+    ),
+    n_ab AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+    marg AS (SELECT t, COUNT(*) AS n_t
+             FROM (SELECT unnest(types) AS t FROM baskets) GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_users FROM baskets)
+    SELECT a, b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_users,
+           {stable_round_sql("n_ab * 1.0 / n_users", 6)} AS support,
+           {stable_round_sql("n_ab * 1.0 / ma.n_t", 6)} AS conf_a_b,
+           {stable_round_sql("n_ab * 1.0 / mb.n_t", 6)} AS conf_b_a,
+           {stable_round_sql(
+               "(n_ab * 1.0 / ma.n_t) * (n_users * 1.0 / mb.n_t)", 6
+           )} AS lift
+    FROM n_ab
+    JOIN marg ma ON ma.t = n_ab.a
+    JOIN marg mb ON mb.t = n_ab.b
+    CROSS JOIN n
+    ORDER BY a, b
+"""
+
+
 QUERIES = {
     "cohort_retention": q_cohort_retention,
     "event_transition_probs": q_event_transition_probs,
     "user_value_twap": q_user_value_twap,
     "user_snapshot_diff": q_user_snapshot_diff,
     "source_lang_drift": q_source_lang_drift,
+    "event_affinity_rules": q_event_affinity_rules,
 }
 
 ORACLES = {
@@ -391,4 +518,5 @@ ORACLES = {
     "user_value_twap": Q_USER_VALUE_TWAP_SQL,
     "user_snapshot_diff": Q_USER_SNAPSHOT_DIFF_SQL,
     "source_lang_drift": Q_SOURCE_LANG_DRIFT_SQL,
+    "event_affinity_rules": Q_EVENT_AFFINITY_SQL,
 }

@@ -74,7 +74,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "doc_unigram_freq", "cluster_split_assign",
                  "hourly_value_locf", "graph_authority_rank",
                  "cms_heavy_hitters", "hll_user_cardinality",
-                 "fuzzy_name_pairs", "bm25_topk"):
+                 "fuzzy_name_pairs", "bm25_topk",
+                 "event_affinity_rules"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

@@ -496,3 +496,24 @@ def test_bm25_scan_once_query_side_broadcast(spark, queries):
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_affinity_rules_one_user_shuffle_broadcast_marginals(spark, queries):
+    """Association-rule scale contract: the basket build is the only
+    corpus-keyed shuffle (checkpointed, so the visible plan re-scans
+    nothing); the i<j pair expansion is a JVM higher-order transform —
+    never a self-join (no SortMergeJoin / CartesianProduct); per-type
+    marginals and the user count broadcast onto the vocab^2 pair frame;
+    the pair count is map-side combined."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["event_affinity_rules"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
