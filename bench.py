@@ -114,6 +114,7 @@ EXTRA = [
     "user_frecency",
     "bm25_topk",
     "event_affinity_rules",
+    "event_volume_trend",
 ]
 
 

@@ -503,6 +503,99 @@ Q_EVENT_AFFINITY_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. Per-group OLS trend fit (statistical model fitting)
+
+
+def q_event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares daily-volume trend per event type: slope, intercept,
+    and r^2 of OLS count ~ day over the table's date range — the
+    statistical-model-fitting operator class (trend detection, the
+    "is this error type growing" question every monitoring pipeline asks;
+    the reference's monitoring thresholds in monitoring/config.py:15-17
+    are static — this is their data-driven upgrade).
+
+    Determinism is the interesting part: a naive corr()/covar() over
+    doubles is an order-dependent float sum — unverifiable cross-engine.
+    Instead x = day index and y = daily count are exact BIGINTs, so the
+    five moment sums (n, Sx, Sy, Sxx, Sxy, Syy) are EXACT integer
+    aggregates in any summation order; slope/intercept/r^2 are then pure
+    functions of exact operands, identical expression trees both engines,
+    wrapped in stable_round only to absorb final-division ulp composition.
+
+    Scale shape: one map-side-combined (type, day) count — the only
+    corpus-keyed shuffle; the moment aggregate runs on the |types| x
+    |days| frame; everything after is |types|-sized. At 100 TB the first
+    aggregate is the classic pre-aggregation contract (partial counts
+    combine before the exchange).
+    """
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # all-integer numerators/denominators: exact up to the final divisions.
+    # Degenerate groups (single day -> var_x = 0; constant counts ->
+    # var_y = 0) yield NULL, not a crash: try_divide here, NULLIF in the
+    # oracle (ANSI Spark raises DIVIDE_BY_ZERO on plain `/`).
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.try_divide(cov_n, var_x)
+    return m.select(
+        "event_type",
+        "n",
+        stable_round(slope, 6).alias("slope"),
+        stable_round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        stable_round(
+            F.try_divide(cov_n * cov_n, var_x * var_y), 6
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+Q_EVENT_VOLUME_TREND_SQL = f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY event_type, x
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {stable_round_sql(
+               "(n * sxy - sx * sy) * 1.0 / NULLIF(n * sxx - sx * sx, 0)", 6
+           )} AS slope,
+           {stable_round_sql(
+               "(sy - ((n * sxy - sx * sy) * 1.0"
+               " / NULLIF(n * sxx - sx * sx, 0)) * sx) / n",
+               6,
+           )} AS intercept,
+           {stable_round_sql(
+               "((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1.0)"
+               " / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)",
+               6,
+           )} AS r2
+    FROM m ORDER BY event_type
+"""
+
+
 QUERIES = {
     "cohort_retention": q_cohort_retention,
     "event_transition_probs": q_event_transition_probs,
@@ -510,6 +603,7 @@ QUERIES = {
     "user_snapshot_diff": q_user_snapshot_diff,
     "source_lang_drift": q_source_lang_drift,
     "event_affinity_rules": q_event_affinity_rules,
+    "event_volume_trend": q_event_volume_trend,
 }
 
 ORACLES = {
@@ -519,4 +613,5 @@ ORACLES = {
     "user_snapshot_diff": Q_USER_SNAPSHOT_DIFF_SQL,
     "source_lang_drift": Q_SOURCE_LANG_DRIFT_SQL,
     "event_affinity_rules": Q_EVENT_AFFINITY_SQL,
+    "event_volume_trend": Q_EVENT_VOLUME_TREND_SQL,
 }

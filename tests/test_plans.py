@@ -517,3 +517,15 @@ def test_affinity_rules_one_user_shuffle_broadcast_marginals(spark, queries):
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_trend_single_corpus_shuffle_partial_combined(spark, queries):
+    """OLS trend scale contract: the (type, day) count is the only
+    corpus-keyed exchange and it partial-combines map-side; the moment
+    aggregate reuses the same hash key family on a |types| x |days| frame;
+    no join, no window, no Python stage."""
+    plan = explain_str(queries["event_volume_trend"](spark, SF_DIR))
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
