@@ -441,6 +441,9 @@ def q_event_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_t"))
     )
+    # marg broadcasts TWICE (a-side and b-side); checkpoint the vocab-sized
+    # frame so the |users|-sized basket frame isn't re-aggregated per use.
+    marg = tracked_local_checkpoint(marg)
     n_users = baskets.agg(F.count(F.lit(1)).alias("n_users"))
 
     out = (
@@ -469,7 +472,7 @@ def q_event_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
-    out._graft_checkpoints = [baskets]
+    out._graft_checkpoints = [baskets, marg]
     return out
 
 
