@@ -146,7 +146,7 @@ def _benefit_counts_sql() -> str:
           WHERE len(list_filter([{arms}], x -> x IS NOT NULL)) = 0
         )
         SELECT category, COUNT(*) AS n FROM with_empty
-        GROUP BY category ORDER BY category
+        GROUP BY category ORDER BY category NULLS FIRST
     """
 
 
