@@ -103,6 +103,7 @@ EXTRA = [
     "doc_excise_dups",
     "doc_weighted_sample",
     "graph_authority_rank",
+    "graph_triangle_coeff",
     "cms_heavy_hitters",
     "hll_user_cardinality",
     "cohort_retention",

@@ -112,10 +112,210 @@ def _graph_authority_sql() -> str:
     """
 
 
+def q_graph_triangle_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the part
+    co-purchase graph (parts sharing an order) — the subgraph-counting
+    operator class (community structure), orthogonal to PageRank (global
+    rank) and connected components (reachability).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW'11 / Cohen's MapReduce triangle counting) — every undirected edge
+    points from its lower endpoint to its higher endpoint under the total
+    order (degree, node), so each triangle materializes EXACTLY once as a
+    wedge at its lowest-order apex plus one closing-edge lookup, and the
+    wedge fan-out per node is bounded by the oriented out-degree —
+    O(sqrt(m)) even for hub nodes. That bound is the whole scale story:
+    the naive wedge count on an unoriented hub is O(d^2) with d unbounded,
+    the oriented one cannot exceed O(m^(3/2)) total work on ANY graph.
+
+    Shapes: per-order baskets via ONE collect_set aggregate, i<j pair
+    expansion as a JVM transform (the affinity-rules pattern; order
+    baskets are tiny), one distinct shuffle for the edge set, one degree
+    aggregate, the wedge self-join + closing-edge equi-join on the
+    checkpointed oriented frame, then one per-node count. All counts are
+    exact integers; the coefficient ``2T / (d (d-1))`` is one division of
+    exact operands (nodes in a triangle have d >= 2 — no zero guard
+    needed), stable-rounded per the repo contract.
+
+    The DuckDB oracle deliberately uses the INDEPENDENT formulation — a
+    direct ``a < b < c`` triple self-join on the undirected edge list —
+    so the orientation trick itself is what gets verified.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    ps = F.col("parts")
+    edges = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                ps,
+                                i + 2,
+                                F.greatest(F.size(ps) - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    edges = tracked_local_checkpoint(edges)
+
+    # single pass over the edge set: explode both endpoints, not a
+    # union of two projections (which would scan edges twice)
+    deg = (
+        edges.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = tracked_local_checkpoint(deg)
+
+    # total order (deg, node): orient every edge low -> high
+    ed = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("a"), F.col("deg").alias("da")
+            ),
+            "a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("db")
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("n"),
+                    F.col("da").alias("d"),
+                ),
+            )
+            .otherwise(F.struct(F.col("b").alias("n"), F.col("db").alias("d")))
+            .alias("lo"),
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.struct(F.col("b").alias("n"), F.col("db").alias("d")),
+            )
+            .otherwise(F.struct(F.col("a").alias("n"), F.col("da").alias("d")))
+            .alias("hi"),
+        )
+        .select(
+            F.col("lo.n").alias("src"),
+            F.col("hi.n").alias("dst"),
+            F.col("lo.d").alias("sd"),
+            F.col("hi.d").alias("dd"),
+        )
+    )
+    ed = tracked_local_checkpoint(ed)
+
+    # wedges at the apex: two out-edges of src, ordered by the same total
+    # order so each unordered {u, w} appears once
+    e1 = ed.select(
+        F.col("src"),
+        F.col("dst").alias("u"),
+        F.col("dd").alias("ud"),
+    )
+    e2 = ed.select(
+        F.col("src"),
+        F.col("dst").alias("w"),
+        F.col("dd").alias("wd"),
+    )
+    wedges = e1.join(e2, "src").filter(
+        F.struct(F.col("ud"), F.col("u")) < F.struct(F.col("wd"), F.col("w"))
+    )
+    closing = ed.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["u", "w"]).select("src", "u", "w")
+
+    # ONE pass over the triangle stream: exploding the 3 corners is
+    # narrow; a union of three projections would re-execute the whole
+    # wedge-join + closing-join pipeline three times (observed: the
+    # union plan carried 12 SortMergeJoins, the explode plan 4)
+    per_node = (
+        tri.select(
+            F.explode(
+                F.array(F.col("src"), F.col("u"), F.col("w"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        per_node.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            "n_triangles",
+            "deg",
+            stable_round(
+                (2 * F.col("n_triangles"))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("part")
+    )
+    out._graft_checkpoints = [edges, deg, ed]
+    return out
+
+
+def _graph_triangle_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    coeff = stable_round_sql("(2 * n_triangles) * 1.0 / (deg * (deg - 1))", 6)
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        ),
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        ),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        per_node AS (
+          SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+          ) GROUP BY node
+        )
+        SELECT p.node AS part, n_triangles, deg, {coeff} AS clustering_coeff
+        FROM per_node p JOIN deg USING (node)
+        ORDER BY part
+    """
+
+
 QUERIES = {
     "graph_authority_rank": q_graph_authority_rank,
+    "graph_triangle_coeff": q_graph_triangle_coeff,
 }
 
 ORACLES = {
     "graph_authority_rank": _graph_authority_sql(),
+    "graph_triangle_coeff": _graph_triangle_sql(),
 }

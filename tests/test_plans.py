@@ -529,3 +529,24 @@ def test_trend_single_corpus_shuffle_partial_combined(spark, queries):
     assert "Join" not in plan and "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_triangle_count_single_pipeline_pass(spark, queries):
+    """Triangle-count scale contract: the basket expansion + orientation
+    run ONCE (all three frames checkpointed — zero parquet scans in the
+    visible plan), per-node counting explodes the 3 corners in a single
+    pass over the triangle stream instead of a union of three projections
+    (which re-executes the wedge+closing join pipeline 3x: observed 12
+    SortMergeJoins vs 4), the count partial-combines map-side, and no
+    Python stage anywhere."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["graph_triangle_coeff"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
