@@ -104,6 +104,7 @@ EXTRA = [
     "doc_weighted_sample",
     "graph_authority_rank",
     "graph_triangle_coeff",
+    "graph_khop_dist",
     "cms_heavy_hitters",
     "hll_user_cardinality",
     "cohort_retention",

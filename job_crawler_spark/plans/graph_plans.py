@@ -310,12 +310,133 @@ def _graph_triangle_sql() -> str:
     """
 
 
+KHOP_MAX = 3
+KHOP_SEED_MOD = 7
+
+
+def q_graph_khop_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop shortest path (BFS min-distance) from a seed set
+    over the supplier<->part co-trade graph — the iterative frontier-
+    traversal operator class (reachability WITH distance), orthogonal to
+    PageRank (fixed-iteration value propagation), connected components
+    (unlabelled fixed point), and triangles (local subgraph counting).
+    Crawl counterpart: "every URL within K link-hops of the seed list,
+    labelled by depth" — the frontier-depth computation a crawl scheduler
+    runs to enforce a depth budget.
+
+    Seeds are the deterministic supplier slice ``s_suppkey % 7 == 1``
+    (non-empty at every gate scale); output is every node reachable within
+    ``KHOP_MAX`` hops with its minimum hop distance.
+
+    Scale shape: textbook frontier BFS. The corpus-sized edge frame is
+    repartitioned on ``src`` ONCE and kept as a persisted frame
+    (InMemoryRelation preserves partitioning — see operators/checkpoints
+    tracked_persist), so each hop's expansion join shuffles ONLY the
+    frontier side; per-hop work is O(frontier-adjacent edges), never
+    O(corpus). Each new frontier is distinct-reduced, anti-joined against
+    the visited set (at 10^10-frontier scale the anti-join's right side
+    would first be pre-pruned by the engine's partitioned Bloom shards —
+    operators/bloom.py — exactly the crawl loop's seen-filter shape), and
+    localCheckpointed so lineage stays one hop deep instead of compounding
+    across iterations. The hop loop is driver-side control flow with an
+    early exit on an empty frontier — the per-hop ``isEmpty`` probe runs
+    on an already-materialized checkpoint, so it costs no recompute.
+
+    The DuckDB oracle is the INDEPENDENT formulation — a recursive CTE
+    (``WITH RECURSIVE walk``) with MIN(dist) over all enumerated
+    (node, dist<=K) pairs — so the frontier/anti-join machinery itself is
+    what gets verified, not re-stated.
+    """
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+        tracked_persist,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pnode = F.concat(F.lit("P"), F.col("p").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("s").cast("string"))
+    edges = e0.select(pnode.alias("src"), snode.alias("dst")).unionAll(
+        e0.select(snode.alias("src"), pnode.alias("dst"))
+    )
+    edges = tracked_persist(edges.repartition("src"))
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    seeds = (
+        sup.filter(F.col("s_suppkey") % KHOP_SEED_MOD == 1)
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    frontier = tracked_local_checkpoint(seeds)
+    cps = [edges, frontier]
+    levels = [frontier.select("node", F.lit(0).cast("int").alias("dist"))]
+    seen = frontier
+    for hop in range(1, KHOP_MAX + 1):
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(seen, "node", "left_anti")
+        new = tracked_local_checkpoint(new)
+        cps.append(new)
+        if new.isEmpty():
+            break
+        levels.append(
+            new.select("node", F.lit(hop).cast("int").alias("dist"))
+        )
+        seen = seen.unionAll(new)
+        frontier = new
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    out = out.orderBy("node")
+    out._graft_checkpoints = cps
+    return out
+
+
+def _graph_khop_sql() -> str:
+    return f"""
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+          SELECT 'P' || CAST(p AS VARCHAR) AS src,
+                 'S' || CAST(s AS VARCHAR) AS dst FROM e0
+          UNION ALL
+          SELECT 'S' || CAST(s AS VARCHAR), 'P' || CAST(p AS VARCHAR)
+          FROM e0
+        ),
+        seeds AS (
+          SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % {KHOP_SEED_MOD} = 1
+        ),
+        walk(node, dist) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < {KHOP_MAX}
+        )
+        SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+        FROM walk GROUP BY node ORDER BY node
+    """
+
+
 QUERIES = {
     "graph_authority_rank": q_graph_authority_rank,
     "graph_triangle_coeff": q_graph_triangle_coeff,
+    "graph_khop_dist": q_graph_khop_dist,
 }
 
 ORACLES = {
     "graph_authority_rank": _graph_authority_sql(),
     "graph_triangle_coeff": _graph_triangle_sql(),
+    "graph_khop_dist": _graph_khop_sql(),
 }

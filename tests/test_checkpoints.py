@@ -75,7 +75,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "hourly_value_locf", "graph_authority_rank",
                  "cms_heavy_hitters", "hll_user_cardinality",
                  "fuzzy_name_pairs", "bm25_topk",
-                 "event_affinity_rules", "graph_triangle_coeff"):
+                 "event_affinity_rules", "graph_triangle_coeff",
+                 "graph_khop_dist"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

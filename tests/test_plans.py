@@ -550,3 +550,25 @@ def test_triangle_count_single_pipeline_pass(spark, queries):
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_graph_khop_final_plan_is_materialized_levels(spark, queries):
+    """K-hop BFS scale contract: every per-hop frontier is materialized
+    (localCheckpointed) during the build, so the FINAL plan is a pure
+    union of in-memory level scans under one range-partitioned sort —
+    zero parquet scans, zero joins, no Python. Without the per-hop
+    checkpoint the lineage would compound (hop N replays hops 1..N-1,
+    including their shuffles) and the visible plan would carry the whole
+    join cascade. The cached-edges-join-without-exchange mechanism the
+    hop loop relies on is pinned by
+    test_graph_rank_cached_sides_join_without_exchange."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["graph_khop_dist"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Join" not in plan, plan
+    assert n_hash_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
