@@ -105,6 +105,7 @@ EXTRA = [
     "graph_authority_rank",
     "graph_triangle_coeff",
     "graph_khop_dist",
+    "part_pareto_front",
     "cms_heavy_hitters",
     "hll_user_cardinality",
     "cohort_retention",

@@ -599,7 +599,82 @@ Q_EVENT_VOLUME_TREND_SQL = f"""
 """
 
 
+def q_part_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of ``part`` under (minimize
+    p_retailprice, maximize p_size) — the multi-criteria dominance-
+    filtering operator class: return every part no other part strictly
+    dominates (other.price <= price AND other.size >= size with at least
+    one strict). Crawl counterpart: frontier candidates that are
+    non-dominated under (freshness, authority) — the scheduler's
+    "no reason to ever prefer something else" set. Ties are real data
+    here (2000 parts share 1000 prices / 50 sizes): rows with identical
+    (price, size) never dominate each other, so ALL of them are skyline
+    when their point is.
+
+    Algorithm: the 2-D sort-sweep, expressed relationally. (1) per-price
+    best size — ONE map-side-combinable aggregate, the only corpus-sized
+    shuffle; (2) prefix-max sweep over the price-distinct frame: a price
+    is skyline iff its best size strictly exceeds the running max over
+    all strictly lower prices; (3) semi-join rows back on (price, size ==
+    best). The global window in (2) runs on the POST-aggregation frame
+    (bounded by price cardinality, not corpus size); if even that frame
+    were corpus-sized, the sweep is a distributed prefix-scan
+    (range-partition by price, per-partition max, broadcast the tiny
+    per-partition prefix offsets) — the skyline is distributive, so
+    local-skyline-then-merge is always available. Every comparison is on
+    raw parquet values (int size, double price read identically by both
+    engines) — no float arithmetic is introduced, so no rounding is
+    needed.
+
+    The DuckDB oracle is the INDEPENDENT quadratic formulation — the
+    textbook NOT EXISTS dominance anti-join — so the sweep's tie and
+    strictness semantics are what get verified, not re-stated.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rows = part.select("p_partkey", "p_size", "p_retailprice")
+    best = rows.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    sweep = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_prices = (
+        best.withColumn("prev_max", F.max("best_size").over(sweep))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("best_size") > F.col("prev_max"))
+        )
+        .select(
+            F.col("p_retailprice").alias("sky_price"),
+            F.col("best_size").alias("sky_size"),
+        )
+    )
+    return (
+        rows.join(
+            F.broadcast(sky_prices),
+            (F.col("p_retailprice") == F.col("sky_price"))
+            & (F.col("p_size") == F.col("sky_size")),
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+Q_PART_PARETO_SQL = """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "part_pareto_front": q_part_pareto_front,
     "cohort_retention": q_cohort_retention,
     "event_transition_probs": q_event_transition_probs,
     "user_value_twap": q_user_value_twap,
@@ -610,6 +685,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_pareto_front": Q_PART_PARETO_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "event_transition_probs": Q_EVENT_TRANSITION_SQL,
     "user_value_twap": Q_USER_VALUE_TWAP_SQL,

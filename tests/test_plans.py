@@ -572,3 +572,22 @@ def test_graph_khop_final_plan_is_materialized_levels(spark, queries):
     assert n_hash_exchanges(plan) == 0, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_pareto_front_sweep_plan(spark, queries):
+    """Skyline scale contract: the only corpus-sized shuffle is the
+    per-price max aggregate (partial_max map-side combined, ONE hash
+    exchange); the sweep window runs on the post-aggregation
+    price-distinct frame; skyline prices re-enter as a BROADCAST join
+    (never a quadratic dominance self-join — no CartesianProduct, no
+    SortMergeJoin); both scans are column-pruned to the 3 output
+    columns; no Python stage."""
+    plan = explain_str(queries["part_pareto_front"](spark, SF_DIR))
+    assert "partial_max" in plan, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "ReadSchema: struct<p_size:int,p_retailprice:double>" in plan, plan
