@@ -118,6 +118,7 @@ EXTRA = [
     "bm25_topk",
     "event_affinity_rules",
     "event_volume_trend",
+    "ssjoin_prefix_pairs",
 ]
 
 

@@ -1409,6 +1409,166 @@ Q_NGRAM_JACCARD_PAIRS_SQL = f"""
 """
 
 
+# --- exact set-similarity join via prefix filtering --------------------------------
+
+SSJOIN_TAU = 0.5  # Jaccard threshold; 1/2 keeps the length filter integer-exact
+
+
+def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 pairs over the FULL 3-gram shingle universe via
+    prefix filtering (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07) —
+    the scalable exact twin of ``ngram_jaccard_pairs``.
+
+    The dedup triad this completes: MinHash-LSH is approximate (misses
+    pairs), the ngram baseline is exact only on a truncated universe
+    (df <= MAX_DF stop-shingle cutoff — a pair of docs built entirely from
+    common shingles is invisible to it). This operator is exact on the
+    untruncated universe and still avoids the O(df^2) hot-token blowup:
+
+    1. Global token order = (df ASC, shingle ASC), rarest first. Each doc
+       sorts its own distinct shingles by that order — no global
+       rank/dense_rank materialization, the (df, shingle) struct IS the
+       order key, so the "index build" is one vocabulary aggregate plus
+       one posting join.
+    2. Prefix: a doc of size s indexes only its first
+       p = s - ceil(tau*s) + 1 tokens (tau=1/2: floor(s/2)+1). Lemma
+       (prefix filtering): J(a,b) >= tau implies prefix(a) and prefix(b)
+       share a token — so bucketing on PREFIX tokens only loses nothing.
+       Because prefixes hold each doc's RAREST tokens, posting lists are
+       short exactly where the naive join explodes; a stop-shingle enters
+       a prefix only for docs with almost no rare content.
+    3. Bucket-local i<j expansion (the minhash_lsh_pairs machinery) with
+       the Jaccard length filter applied INSIDE the bucket before any
+       shuffle: members sorted by (sz, doc_id), a pair is emitted only if
+       sz_big <= 2 * sz_small (J >= 1/2 forces |b| <= 2|a|) — integer
+       math, no float in the candidate path.
+    4. Exact verification: candidates (distinct) join the per-doc shingle
+       arrays and count |A intersect B| JVM-side (array_intersect); the
+       threshold test runs on the exact overlap, so output = ground truth.
+
+    100 TB shape: shuffles are one vocabulary aggregate, one df-tag join,
+    one per-doc sort aggregate, one posting-bucket aggregate, one distinct,
+    and two doc_id-keyed verify joins — all linear in corpus + candidate
+    size; candidate size is bounded by rare-token posting lists instead of
+    a lossy MAX_DF cutoff. Output contract matches ngram_jaccard_pairs
+    (a, b, overlap, jaccard) so the two universes can be diffed directly.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _shingles_col().alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # tag each posting with its token's global rarity, then per-doc sort:
+    # array_sort over (df, shingle) structs is the global total order
+    # (shingles are distinct within a doc, so no ties)
+    per_doc = (
+        exploded.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+    )
+    sz = F.size("ordered")
+    # tau = 1/2: prefix length p = sz - ceil(sz/2) + 1 = floor(sz/2) + 1
+    prefix_len = (F.floor(sz / 2) + 1).cast("int")
+    postings = per_doc.select(
+        "doc_id",
+        sz.alias("sz"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len),
+                lambda s: s.getField("shingle"),
+            )
+        ).alias("shingle"),
+    )
+    buckets = (
+        postings.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("sz"), F.col("doc_id")))
+            ).alias("mem")
+        )
+        .filter(F.size("mem") > 1)
+    )
+    mem = F.col("mem")
+    # i<j expansion in size order; the 2x length filter prunes in-bucket,
+    # before the pair ever reaches a shuffle
+    pair_structs = F.flatten(
+        F.transform(
+            mem,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(mem, i + F.lit(2), F.size(mem)),
+                    lambda y: y.getField("sz") <= F.lit(2) * x.getField("sz"),
+                ),
+                lambda y: F.struct(
+                    F.least(
+                        x.getField("doc_id"), y.getField("doc_id")
+                    ).alias("a"),
+                    F.greatest(
+                        x.getField("doc_id"), y.getField("doc_id")
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    overlap = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            overlap.alias("overlap"),
+            # stable_round, NOT F.round (HALF_UP vs binary-value rounding)
+            stable_round(
+                overlap
+                / (F.size("sh_a") + F.size("sh_b") - overlap),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SSJOIN_TAU)
+        .orderBy("a", "b")
+    )
+
+
+# oracle: brute-force exact Jaccard on the full universe — every pair
+# sharing any shingle, no prefix filter, no df cutoff. Feasible at the gate
+# scales; its independence from the prefix lemma is the point.
+Q_SSJOIN_PREFIX_PAIRS_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS overlap
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, overlap,
+           (FLOOR(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE) * 10000 + 0.5)
+            / 10000) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+               JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE (FLOOR(overlap / CAST(sa.sz + sb.sz - overlap AS DOUBLE) * 10000 + 0.5)
+           / 10000) >= {SSJOIN_TAU}
+    ORDER BY a, b
+"""
+
+
 def _minhash_band_array():
     """The per-doc MinHash band array Column (shared by the full-corpus and
     the incremental pair queries — identical signatures by construction).
@@ -2218,6 +2378,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "exact_dup_groups": q_exact_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ssjoin_prefix_pairs": q_ssjoin_prefix_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "dup_clusters": q_dup_clusters,
@@ -2252,6 +2413,7 @@ ORACLES = {
     "winnow_fingerprints": Q_WINNOW_SQL,
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,
     "ngram_jaccard_pairs": Q_NGRAM_JACCARD_PAIRS_SQL,
+    "ssjoin_prefix_pairs": Q_SSJOIN_PREFIX_PAIRS_SQL,
     "minhash_lsh_pairs": _minhash_sql(),
     "minhash_incremental_pairs": _minhash_incremental_sql(),
     "dup_clusters": _dup_clusters_sql(),

@@ -1,0 +1,116 @@
+"""ssjoin_prefix_pairs: exact set-similarity join via prefix filtering.
+
+Pins EXACTNESS against a pure-Python brute force on hostile shapes the
+prefix/length filters could plausibly get wrong:
+
+- completeness: no Jaccard >= tau pair is missed — including a pair whose
+  shared shingles are ALL corpus-common (the case the ngram baseline's
+  MAX_DF cutoff is blind to by construction), and a subset pair at the
+  exact 2x length-filter boundary (|b| = 2|a|, J = 0.5);
+- soundness: candidates that share a prefix token but fall below tau
+  after exact verification are dropped (J just under 0.5);
+- edge rows: docs with < NGRAM tokens have an empty shingle set and never
+  pair; duplicate texts pair at J = 1.0.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from job_crawler_spark.plans.textops import (
+    NGRAM,
+    SSJOIN_TAU,
+    q_ssjoin_prefix_pairs,
+)
+
+
+def _shingles(text: str) -> set[str]:
+    toks = re.split(r"\s+", text.strip().lower())
+    if len(toks) < NGRAM:
+        return set()
+    return {" ".join(toks[i : i + NGRAM]) for i in range(len(toks) - NGRAM + 1)}
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _reference(rows: list[tuple[int, str]]) -> set[tuple[int, int, int, float]]:
+    out = set()
+    sh = {i: _shingles(t) for i, t in rows}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            o = len(sh[a] & sh[b])
+            if o == 0:
+                continue
+            j = _round4(o / len(sh[a] | sh[b]))
+            if j >= SSJOIN_TAU:
+                out.add((a, b, o, j))
+    return out
+
+
+def _run(spark, tmp_path, rows: list[tuple[int, str]]):
+    df = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "ssjoin_docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = q_ssjoin_prefix_pairs(spark, sf).collect()
+    return {(r.a, r.b, r.overlap, r.jaccard) for r in got}
+
+
+HOSTILE = [
+    # 1-2: identical docs -> J = 1.0
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "alpha beta gamma delta epsilon"),
+    # 3: shares a long run with 1/2 -> high J
+    (3, "alpha beta gamma delta zeta"),
+    # 4-5: subset at the exact 2x boundary: doc 4 has 4 shingles, doc 5
+    # has those 4 plus 4 more (8 total) -> J = 4/8 = 0.5 exactly, and
+    # sz_b == 2 * sz_a sits ON the length-filter edge
+    (4, "one two three four five six"),
+    (5, "one two three four five six seven eight nine ten"),
+    # 6: same subset one shingle longer -> J = 4/9 < 0.5, must be dropped
+    (6, "one two three four five six seven eight nine ten eleven"),
+    # 7: too short for any shingle (2 tokens)
+    (7, "tiny doc"),
+    # 8: shares exactly one shingle with 1 -> low J, dropped after verify
+    (8, "alpha beta gamma completely different tail here"),
+]
+
+# every shingle below appears in ALL THREE docs (df = 3 = corpus-common for
+# this corpus): the pairs exist only through common tokens, the regime a
+# stop-token cutoff silently drops but an exact join must keep
+COMMON_ONLY = [
+    (10, "the quick brown fox jumps over the lazy dog"),
+    (11, "the quick brown fox jumps over the lazy dog"),
+    (12, "the quick brown fox jumps over the lazy dog today"),
+]
+
+
+def test_hostile_golden_exact(spark, tmp_path):
+    rows = HOSTILE
+    assert _run(spark, tmp_path, rows) == _reference(rows)
+    ref = _reference(rows)
+    # the fixture exercises what it claims to
+    assert (1, 2, 3, 1.0) in ref
+    assert any(a == 4 and b == 5 and j == 0.5 for a, b, _, j in ref)
+    assert not any({a, b} == {4, 6} for a, b, _, _ in ref)
+    assert not any(7 in (a, b) for a, b, _, _ in ref)
+    assert not any(8 in (a, b) for a, b, _, _ in ref)
+
+
+def test_common_token_pairs_not_dropped(spark, tmp_path):
+    got = _run(spark, tmp_path, COMMON_ONLY)
+    assert got == _reference(COMMON_ONLY)
+    assert {(a, b) for a, b, _, _ in got} == {(10, 11), (10, 12), (11, 12)}
+
+
+def test_combined_corpus_exact(spark, tmp_path):
+    rows = HOSTILE + COMMON_ONLY
+    assert _run(spark, tmp_path, rows) == _reference(rows)
