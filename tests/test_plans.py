@@ -591,3 +591,22 @@ def test_pareto_front_sweep_plan(spark, queries):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "ReadSchema: struct<p_size:int,p_retailprice:double>" in plan, plan
+
+
+def test_ssjoin_prefix_plan_no_quadratic_join(spark, queries):
+    """Exact set-similarity join scale contract: candidates come from the
+    rare-token prefix buckets (in-bucket i<j expansion + integer length
+    filter), NEVER a cartesian or sort-merge product; the deduped
+    candidate list is small enough to BROADCAST into both verify joins;
+    exact verification is JVM array_intersect, with zero Python stages.
+    Shuffles are the linear passes only (vocab df, per-doc sort, posting
+    buckets, candidate distinct) — pinned at 4 hash exchanges."""
+    plan = explain_str(queries["ssjoin_prefix_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "array_intersect" in plan, plan
+    assert n_hash_exchanges(plan) == 4, plan
