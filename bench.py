@@ -119,6 +119,7 @@ EXTRA = [
     "event_affinity_rules",
     "event_volume_trend",
     "ssjoin_prefix_pairs",
+    "emb_gram_matrix",
 ]
 
 

@@ -899,6 +899,67 @@ def _neardup_ann_sql() -> str:
     """
 
 
+# --- distributed dense linear algebra: Gram matrix (A^T A) ------------------
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix G = A^T A over the embedding corpus — the
+    distributed dense-linear-algebra operator class (PCA/whitening,
+    covariance-based outlier pruning, low-rank embedding compression: the
+    standard preprocessing passes a training-data pipeline runs over an
+    embedding column before similarity search).
+
+    Shape, join-free: each row expands its OWN d(d+1)/2 upper-triangle
+    products in-row via nested higher-order transforms (slice from the
+    diagonal, so i <= j by construction — no self-join on vec_id, no
+    (n*d) x (n*d) key explosion), then ONE hash aggregate on (i, j) sums
+    them. The key space is d(d+1)/2 = 2,080 cells for d=64 regardless of
+    corpus size, so map-side partial_sum collapses every task's output to
+    <= 2,080 rows before the exchange: at 10^10 rows the shuffle carries
+    tasks x 2,080 partial cells, not n x d^2 products. The d x d result
+    is driver-sized by construction — the honest version of "collect is
+    fine here" (cf. the bloom-shard control-plane collects).
+
+    Cross-engine determinism: float32 components cast to double (exact)
+    before multiplying; the cross-row SUM is order-dependent in its final
+    ulps like every float aggregate here (the label-centroid AVG pattern),
+    absorbed by the dialect-stable 4-digit rounding.
+
+    Implementation shared with the PCA companion (power iteration +
+    distributed projection) in ``operators/linalg.py``.
+    """
+    from job_crawler_spark.operators.linalg import gram_upper
+
+    return (
+        gram_upper(_emb(spark, sf_dir).select("embedding"))
+        .select("i", "j", stable_round(F.col("g"), 4).alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+def _gram_matrix_sql() -> str:
+    g4 = stable_round_sql("SUM(p)", 4)
+    return f"""
+        WITH d0 AS (
+          SELECT embedding,
+                 unnest(range(1, len(embedding) + 1)) AS gi
+          FROM embeddings
+        ),
+        d1 AS (
+          SELECT gi, CAST(embedding[gi] AS DOUBLE) AS x, embedding,
+                 unnest(range(gi, len(embedding) + 1)) AS gj
+          FROM d0
+        ),
+        cells AS (
+          SELECT gi - 1 AS i, gj - 1 AS j,
+                 x * CAST(embedding[gj] AS DOUBLE) AS p
+          FROM d1
+        )
+        SELECT i, j, {g4} AS gram
+        FROM cells GROUP BY i, j ORDER BY i, j
+    """
+
+
 QUERIES = {
     "emb_neardup_pairs_ann": q_neardup_pairs_ann,
     "emb_ivf_topk": q_ivf_topk,
@@ -909,6 +970,7 @@ QUERIES = {
     "emb_lsh_ann_topk": q_lsh_ann_topk,
     "emb_label_centroids": q_label_centroids,
     "emb_knn_label_vote": q_knn_label_vote,
+    "emb_gram_matrix": q_gram_matrix,
 }
 
 ORACLES = {
@@ -921,4 +983,5 @@ ORACLES = {
     "emb_lsh_ann_topk": _lsh_ann_topk_sql(),
     "emb_label_centroids": _label_centroids_sql(),
     "emb_knn_label_vote": _knn_label_vote_sql(),
+    "emb_gram_matrix": _gram_matrix_sql(),
 }

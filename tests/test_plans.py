@@ -610,3 +610,18 @@ def test_ssjoin_prefix_plan_no_quadratic_join(spark, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "array_intersect" in plan, plan
     assert n_hash_exchanges(plan) == 4, plan
+
+
+def test_gram_matrix_single_mapside_aggregate(spark, queries):
+    """Dense linear algebra scale contract: the Gram matrix is ONE hash
+    aggregate over in-row expanded upper-triangle products — key space
+    d(d+1)/2, constant in corpus size, partial_sum combined map-side; no
+    self-join on the row key, no Python stage, scan pruned to the
+    embedding column."""
+    plan = explain_str(queries["emb_gram_matrix"](spark, SF_DIR))
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "ReadSchema: struct<embedding:array<float>>" in plan, plan
