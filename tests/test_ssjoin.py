@@ -114,3 +114,39 @@ def test_common_token_pairs_not_dropped(spark, tmp_path):
 def test_combined_corpus_exact(spark, tmp_path):
     rows = HOSTILE + COMMON_ONLY
     assert _run(spark, tmp_path, rows) == _reference(rows)
+
+
+# Positional-filter boundary (PPJoin, Xiao et al. WWW'08): docs 20/21 share
+# an 8-shingle suffix run S (df pushed to 4 by the two fillers) and carry 4
+# rare unique shingles each (df = 1, so they fill the front of the global
+# (df, shingle) order). sz = 12, overlap = 8, J = 8/16 = 0.5 exactly; the
+# FIRST collision lands at position 5 on both sides, so the overlap upper
+# bound 1 + min(12-5, 12-5) = 8 EQUALS alpha = ceil((12+12)/3) = 8 — a true
+# pair sitting exactly on the ubound >= alpha edge. An off-by-one in the
+# positional prune (>) would silently drop it; the brute-force reference
+# catches that here.
+_S = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+POSITIONAL_EDGE = [
+    (20, "ua1 ua2 ua3 ua4 " + _S),
+    (21, "ub1 ub2 ub3 ub4 " + _S),
+    (22, _S),
+    (23, _S),
+]
+
+
+def test_positional_filter_boundary_kept(spark, tmp_path):
+    got = _run(spark, tmp_path, POSITIONAL_EDGE)
+    ref = _reference(POSITIONAL_EDGE)
+    assert got == ref
+    # the fixture exercises what it claims: 20/21 is a J = 0.5 pair whose
+    # shared shingles all sit BEHIND 4 rare uniques in each doc's order
+    assert any(a == 20 and b == 21 and j == 0.5 for a, b, _, j in ref)
+    sh20, sh21 = _shingles(POSITIONAL_EDGE[0][1]), _shingles(
+        POSITIONAL_EDGE[1][1]
+    )
+    assert len(sh20) == 12 and len(sh20 & sh21) == 8
+
+
+def test_combined_with_positional_edge_exact(spark, tmp_path):
+    rows = HOSTILE + COMMON_ONLY + POSITIONAL_EDGE
+    assert _run(spark, tmp_path, rows) == _reference(rows)
