@@ -99,3 +99,28 @@ def test_gram_empty_and_single_row(spark):
         (0, 0): 1.0, (0, 1): 2.0, (0, 2): -3.0,
         (1, 1): 4.0, (1, 2): -6.0, (2, 2): 9.0,
     }
+
+
+# Property test: gram_upper == numpy A^T A on random shapes — d down to 1,
+# zero rows, constant columns, negatives; float32 inputs, double sums.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_shape = st.tuples(st.integers(1, 20), st.integers(1, 6))
+
+
+@given(_shape, st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_gram_matches_numpy_random(spark, shape, seed):
+    n, d = shape
+    rng = np.random.default_rng(seed)
+    mat = (rng.normal(scale=3.0, size=(n, d)) * rng.integers(0, 2, size=(n, 1))).astype(np.float32)
+    df = spark.createDataFrame(
+        [([float(x) for x in row],) for row in mat], "embedding array<float>"
+    )
+    want = mat.astype(np.float64).T @ mat.astype(np.float64)
+    got = np.zeros((d, d))
+    for r in gram_upper(df).collect():
+        got[r["i"], r["j"]] = r["g"]
+        got[r["j"], r["i"]] = r["g"]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)

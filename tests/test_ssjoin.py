@@ -150,3 +150,28 @@ def test_positional_filter_boundary_kept(spark, tmp_path):
 def test_combined_with_positional_edge_exact(spark, tmp_path):
     rows = HOSTILE + COMMON_ONLY + POSITIONAL_EDGE
     assert _run(spark, tmp_path, rows) == _reference(rows)
+
+
+# Property test: exactness on random adversarial corpora. A tiny shared
+# vocabulary forces heavy shingle collisions, boundary sizes (docs right at
+# NGRAM tokens), empty shingle sets, duplicate texts, and subset chains —
+# every regime the prefix/length/positional prunes could get wrong. Each
+# example is a full Spark run, so max_examples stays small; the shapes the
+# prunes depend on (sizes, df order, positions) vary freely within it.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=14).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+
+_example_n = [0]
+
+
+@given(_corpus)
+@settings(max_examples=5, deadline=None)
+def test_random_corpus_exact(spark, tmp_path_factory, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    _example_n[0] += 1
+    tmp = tmp_path_factory.mktemp(f"ssjoin_prop_{_example_n[0]}")
+    assert _run(spark, tmp, rows) == _reference(rows)
