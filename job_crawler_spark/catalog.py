@@ -22,9 +22,17 @@ plain parquet + JSON manifests (SURVEY.md §7.3 "Iceberg availability"):
 - row_count = manifest/footer metadata only (Iceberg carries record counts
   in manifests) — table stats never cost a Spark scan.
 
-Manifest file entries are dicts ``{"path", "part", "rows"}``; plain-string
-entries from older manifests are still readable (untagged, rows read from
-the parquet footer on demand).
+Manifest file entries are dicts ``{"path", "part", "rows"}`` plus an
+optional ``"stats"`` map of per-file column min/max (Iceberg's
+lower_bounds/upper_bounds, harvested from the parquet footers at write
+time — metadata only, no data scan). ``read_pruned`` uses them for
+file skipping: a range predicate touches only the files whose stats
+overlap it, which is what makes a z-ordered layout
+(operators/layout.py) pay off — and files without stats (older
+manifests, unsupported types) are always kept, so pruning can only
+skip files it has PROOF contain no match. Plain-string entries from
+older manifests are still readable (untagged, rows read from the
+parquet footer on demand).
 
 On a real cluster you'd swap this for the Iceberg Spark catalog with zero
 changes above this module — the engine only calls read/append/overwrite/
@@ -43,6 +51,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _POINTER = "_latest"
+
+# JSON-round-trippable stat types whose Python ordering matches the
+# column's ordering. bytes / timestamps / nested types are excluded —
+# their files simply carry no stats and are never skipped.
+_STAT_TYPES = (bool, int, float, str)
+
+
+def _footer_stats(md) -> dict:
+    """Per-column [min, max] from parquet row-group footers — Iceberg's
+    lower_bounds/upper_bounds, metadata only. A column gets stats only if
+    EVERY row group has usable min/max of a JSON-safe ordered type;
+    nested columns (dotted paths) are skipped. Missing stats mean "never
+    skip", so this is always safe, never wrong."""
+    agg: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            cname = col.path_in_schema
+            if cname in dead or "." in cname:
+                continue
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, _STAT_TYPES)
+                or not isinstance(st.max, _STAT_TYPES)
+                or isinstance(st.min, bool) != isinstance(st.max, bool)
+            ):
+                dead.add(cname)
+                agg.pop(cname, None)
+                continue
+            cur = agg.get(cname)
+            if cur is None:
+                agg[cname] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    return agg
+
+
+def _entry_overlaps(entry, ranges: dict) -> bool:
+    """True unless the entry's stats PROVE no row can satisfy every
+    (col, (lo, hi)) range — missing stats for a column keep the file."""
+    stats = entry.get("stats") if isinstance(entry, dict) else None
+    if not stats:
+        return True
+    for cname, (lo, hi) in ranges.items():
+        s = stats.get(cname)
+        if s is None:
+            continue
+        mn, mx = s
+        try:
+            if hi is not None and mn > hi:
+                return False
+            if lo is not None and mx < lo:
+                return False
+        except TypeError:  # predicate/stat type mismatch: keep the file
+            continue
+    return True
 
 
 @dataclass
@@ -107,11 +176,13 @@ class Catalog:
             if not f.endswith(".parquet"):
                 continue
             path = os.path.join(out, f)
+            md = pq.ParquetFile(path).metadata
             entries.append(
                 {
                     "path": path,
                     "part": part,
-                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                    "rows": md.num_rows,
+                    "stats": _footer_stats(md),
                 }
             )
         return entries
@@ -135,6 +206,50 @@ class Catalog:
         return spark.read.parquet(
             *[self._entry_path(e) for e in manifest["files"]]
         )
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        ranges: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read with manifest-stats file skipping.
+
+        ``ranges`` maps column -> (lo, hi), both inclusive, either bound
+        None for open-ended. Only files whose per-file min/max stats
+        overlap EVERY range are scanned; the residual filter is still
+        applied to the survivors, so the result is exactly
+        ``read(...).filter(lo <= col <= hi ...)`` — skipping is a scan
+        optimization, never a semantic. The scanned/total file counts are
+        attached as ``_graft_files_scanned`` / ``_graft_files_total`` so
+        callers (and tests) can assert the skipping actually happened.
+        Pays off when the layout gives files tight stat ranges — a sort,
+        a partition-scoped write, or operators/layout.zorder_layout for
+        multi-column boxes.
+        """
+        from pyspark.sql import functions as F
+
+        v = self.snapshot_id(name) if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        manifest = self._read_manifest(name, v)
+        entries = manifest["files"]
+        keep = [e for e in entries if _entry_overlaps(e, ranges)]
+        if keep:
+            df = spark.read.parquet(*[self._entry_path(e) for e in keep])
+        else:
+            df = spark.createDataFrame(
+                [], schema=T.StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        for cname, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(cname) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(cname) <= F.lit(hi))
+        df._graft_files_scanned = len(keep)
+        df._graft_files_total = len(entries)
+        return df
 
     def _latest_entries(self, name: str) -> list:
         v = self.snapshot_id(name)

@@ -116,3 +116,90 @@ def test_expire_snapshots_respects_pin_floor(spark, cat):
     assert cat.read(spark, "pin", version=2).count() == 3
     with pytest.raises(FileNotFoundError):
         cat._read_manifest("pin", 1)
+
+
+# --- manifest column stats + file skipping (read_pruned) ----------------------
+
+
+def test_write_harvests_footer_stats(spark, cat):
+    df = spark.createDataFrame(
+        [(1, "apple", [1, 2]), (9, "pear", [3])],
+        "x long, s string, arr array<long>",
+    )
+    cat.overwrite(df.coalesce(1), "t")
+    (entry,) = cat._latest_entries("t")
+    assert entry["stats"]["x"] == [1, 9]
+    assert entry["stats"]["s"] == ["apple", "pear"]
+    assert "arr" not in entry["stats"]  # nested: no stats, never skipped
+
+
+def test_read_pruned_equals_filtered_read_and_skips(spark, cat):
+    # 8 appends of disjoint x-ranges -> 8 files with tight stats
+    for base in range(0, 80, 10):
+        cat.append(
+            spark.range(base, base + 10).withColumnRenamed("id", "x").coalesce(1),
+            "t",
+        )
+    pruned = cat.read_pruned(spark, "t", {"x": (25, 34)})
+    want = sorted(
+        r["x"]
+        for r in cat.read(spark, "t")
+        .filter((F.col("x") >= 25) & (F.col("x") <= 34))
+        .collect()
+    )
+    assert sorted(r["x"] for r in pruned.collect()) == want == list(range(25, 35))
+    assert pruned._graft_files_total == 8
+    assert pruned._graft_files_scanned == 2  # only the two overlapping files
+
+    # open-ended bound
+    hi = cat.read_pruned(spark, "t", {"x": (70, None)})
+    assert hi._graft_files_scanned == 1 and hi.count() == 10
+
+    # empty selection: no file overlaps, schema preserved
+    none = cat.read_pruned(spark, "t", {"x": (1000, 2000)})
+    assert none._graft_files_scanned == 0 and none.count() == 0
+    assert none.schema["x"].dataType.typeName() == "long"
+
+
+def test_read_pruned_zorder_box_beats_linear(spark, cat):
+    from job_crawler_spark.operators.layout import zorder_layout
+
+    n, files = 64, 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("double").alias("x"),
+        F.floor(F.col("id") / n).cast("double").alias("y"),
+    )
+    cat.overwrite(
+        zorder_layout(grid, [("x", 0.0, 63.0), ("y", 0.0, 63.0)], files, bits=6),
+        "zed",
+    )
+    cat.overwrite(
+        grid.repartitionByRange(files, "x").sortWithinPartitions("x", "y"),
+        "lin",
+    )
+    box = {"x": (24.0, 31.0), "y": (24.0, 31.0)}
+    pz = cat.read_pruned(spark, "zed", box)
+    pl = cat.read_pruned(spark, "lin", box)
+    assert sorted(map(tuple, pz.collect())) == sorted(map(tuple, pl.collect()))
+    assert pz.count() == 64
+    # linear layout: x prunes, y cannot (every x-slab spans all y)
+    assert pz._graft_files_scanned * 2 <= pl._graft_files_scanned, (
+        pz._graft_files_scanned,
+        pl._graft_files_scanned,
+    )
+
+
+def test_read_pruned_missing_stats_is_safe(spark, cat):
+    import json as _json
+
+    cat.overwrite(spark.range(10).withColumnRenamed("id", "x"), "t")
+    # simulate a pre-stats manifest: strip the stats key in place
+    v = cat.snapshot_id("t")
+    mp = cat._manifest_path("t", v)
+    m = _json.load(open(mp))
+    for e in m["files"]:
+        e.pop("stats", None)
+    _json.dump(m, open(mp, "w"))
+    pruned = cat.read_pruned(spark, "t", {"x": (3, 5)})
+    assert pruned._graft_files_scanned == pruned._graft_files_total  # kept all
+    assert sorted(r["x"] for r in pruned.collect()) == [3, 4, 5]
