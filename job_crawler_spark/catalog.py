@@ -213,6 +213,7 @@ class Catalog:
         name: str,
         ranges: dict,
         version: int | None = None,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
         """Range-predicate read with manifest-stats file skipping.
 
@@ -232,7 +233,14 @@ class Catalog:
 
         v = self.snapshot_id(name) if version is None else version
         if v < 0:
-            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+            if schema is None:
+                raise FileNotFoundError(
+                    f"table {name} does not exist in {self.root}"
+                )
+            df = spark.createDataFrame([], schema=schema)
+            df._graft_files_scanned = 0
+            df._graft_files_total = 0
+            return df
         manifest = self._read_manifest(name, v)
         entries = manifest["files"]
         keep = [e for e in entries if _entry_overlaps(e, ranges)]

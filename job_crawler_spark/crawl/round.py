@@ -330,12 +330,18 @@ class CrawlEngine:
         identical inputs even when later snapshots already exist. Returned
         whole so callers that go on to repin the same row (the adoption
         branch) don't pay a second read+collect job."""
-        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        # manifest-stats pruned read: at 10^6 stored rounds this touches
+        # the one file whose round range covers the target, not the table
+        ck = self.catalog.read_pruned(
+            self.spark,
+            self.T_CKPT,
+            {"round": (round_no - 1, round_no - 1)},
+            schema=CHECKPOINT_SCHEMA,
+        )
         # newest-version row wins if a legacy (untagged) catalog ever holds
         # duplicate rows for one round: the latest repin supersedes
         row = (
-            ck.filter(F.col("round") == round_no - 1)
-            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            ck.orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
             .limit(1)
             .collect()
         )
@@ -353,10 +359,14 @@ class CrawlEngine:
 
     def _latest_ckpt_row(self, round_no: int) -> dict:
         """The winning checkpoint row for a round (latest repin supersedes)."""
-        ck = self.catalog.read(self.spark, self.T_CKPT, schema=CHECKPOINT_SCHEMA)
+        ck = self.catalog.read_pruned(
+            self.spark,
+            self.T_CKPT,
+            {"round": (round_no, round_no)},
+            schema=CHECKPOINT_SCHEMA,
+        )
         return (
-            ck.filter(F.col("round") == round_no)
-            .orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
+            ck.orderBy(F.col("frontier_v").desc(), F.col("seen_v").desc())
             .limit(1)
             .collect()[0]
             .asDict()
