@@ -124,3 +124,68 @@ def test_gram_matches_numpy_random(spark, shape, seed):
         got[r["i"], r["j"]] = r["g"]
         got[r["j"], r["i"]] = r["g"]
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+# --- Johnson-Lindenstrauss projection ----------------------------------------
+
+
+def test_jl_matches_numpy_and_is_deterministic(spark):
+    from job_crawler_spark.operators.linalg import jl_project
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["jl"] for r in jl_project(df, 8, 32, seed=5).collect()}
+    # reproduce R exactly: pure function of (seed, dims)
+    rr = np.random.default_rng(5).choice(
+        (-1.0 / np.sqrt(8), 1.0 / np.sqrt(8)), size=(8, 32)
+    )
+    want = mat.astype(np.float64) @ rr.T
+    for i in range(40):
+        np.testing.assert_allclose(out[i], want[i], rtol=1e-9, atol=1e-12)
+    # second run identical (determinism across invocations)
+    again = {r["vec_id"]: r["jl"] for r in jl_project(df, 8, 32, seed=5).collect()}
+    assert out == again
+
+
+def test_jl_preserves_pairwise_distances(spark):
+    from job_crawler_spark.operators.linalg import jl_project
+
+    rng = np.random.default_rng(11)
+    n, d, k = 60, 256, 64
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    proj = {r["vec_id"]: np.array(r["jl"]) for r in jl_project(df, k, d, seed=1).collect()}
+    ratios = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            orig = np.linalg.norm(mat[i].astype(np.float64) - mat[j])
+            new = np.linalg.norm(proj[i] - proj[j])
+            ratios.append(new / orig)
+    ratios = np.array(ratios)
+    # JL with k=64: distances preserved within ~35% for every pair of
+    # this deterministic corpus, and tightly on average
+    assert ratios.min() > 0.65 and ratios.max() < 1.35, (ratios.min(), ratios.max())
+    assert abs(float(ratios.mean()) - 1.0) < 0.05
+
+
+def test_jl_plan_is_narrow(spark):
+    from job_crawler_spark.operators.linalg import jl_project
+
+    df = spark.createDataFrame(
+        [([1.0] * 16,)], "embedding array<float>"
+    )
+    out = jl_project(df, 4, 16, seed=0)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning(" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
