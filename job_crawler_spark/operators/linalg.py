@@ -70,9 +70,10 @@ def _dim_sums(df: DataFrame, col: str) -> DataFrame:
 def covariance_matrix(df: DataFrame, col: str = "embedding"):
     """Collect the exact covariance matrix C = G/n - mu mu^T.
 
-    Returns (C, mu, n) as numpy. Two corpus passes (Gram cells + per-dim
-    sums), both map-side-combined aggregates with d-bounded key spaces;
-    the collects are d x d / d-sized — control-plane, not data-plane.
+    Returns (C, mu, n) as numpy. Three corpus actions (Gram cells,
+    per-dim sums, row count), the first two map-side-combined aggregates
+    with d-bounded key spaces; the collects are d x d / d-sized —
+    control-plane, not data-plane.
     """
     cells = gram_upper(df, col).collect()
     d = max(r["j"] for r in cells) + 1 if cells else 0
