@@ -120,6 +120,7 @@ EXTRA = [
     "event_volume_trend",
     "ssjoin_prefix_pairs",
     "emb_gram_matrix",
+    "url_trap_signals",
 ]
 
 

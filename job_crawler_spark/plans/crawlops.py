@@ -225,12 +225,129 @@ def _host_skew_sql() -> str:
     """
 
 
+def trap_frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic trap-mix frontier derived from orders: 3 calendar-trap
+    hosts (unbounded digit-templated paths), 2 session-id hosts (constant
+    path, per-URL query), 5 benign hosts (bounded path set). 10 and 3/2/5
+    are coprime-enough that every host sees its full bucket at any scale."""
+    k = F.col("o_orderkey")
+    cal = F.concat(
+        F.lit("https://trap"),
+        k % 3,
+        F.lit(".example.com/cal/2024/"),
+        k % 12 + 1,
+        F.lit("/"),
+        k % 28 + 1,
+        F.lit("/event-"),
+        k,
+    )
+    sess = F.concat(
+        F.lit("https://sess"),
+        k % 2,
+        F.lit(".example.com/jobs/list?s="),
+        (k * 2654435761) % 1000000007,
+    )
+    ok = F.concat(
+        F.lit("https://ok"),
+        k % 5,
+        F.lit(".example.com/jobs/"),
+        k % 20,
+        F.lit("?b="),
+        k % 3,
+    )
+    bucket = k % 10
+    url = F.when(bucket <= 2, cal).when(bucket <= 4, sess).otherwise(ok)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(k.alias("id"), url.alias("url"))
+
+
+TRAP_FRONTIER_SQL = """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 10 <= 2 THEN
+                  'https://trap' || CAST(o_orderkey % 3 AS VARCHAR)
+                  || '.example.com/cal/2024/'
+                  || CAST(o_orderkey % 12 + 1 AS VARCHAR) || '/'
+                  || CAST(o_orderkey % 28 + 1 AS VARCHAR)
+                  || '/event-' || CAST(o_orderkey AS VARCHAR)
+                WHEN o_orderkey % 10 <= 4 THEN
+                  'https://sess' || CAST(o_orderkey % 2 AS VARCHAR)
+                  || '.example.com/jobs/list?s='
+                  || CAST((o_orderkey * 2654435761) % 1000000007 AS VARCHAR)
+                ELSE
+                  'https://ok' || CAST(o_orderkey % 5 AS VARCHAR)
+                  || '.example.com/jobs/'
+                  || CAST(o_orderkey % 20 AS VARCHAR)
+                  || '?b=' || CAST(o_orderkey % 3 AS VARCHAR)
+           END AS url
+    FROM orders
+"""
+
+
+def q_url_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (operators/traps.py) over the deterministic
+    trap-mix frontier: per-host URL-space explosion signals + integer-exact
+    flag. Expected shape at every gate scale: 10 hosts, the 3 trap* and
+    2 sess* hosts flagged, the 5 ok* hosts clean."""
+    from job_crawler_spark.operators.traps import url_trap_signals
+
+    return url_trap_signals(trap_frontier_df(spark, sf_dir)).orderBy("host")
+
+
+_TRAP_PATH_SQL = (
+    "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)"
+)
+_TRAP_QUERY_SQL = "regexp_extract(url, '\\?([^#]*)', 1)"
+
+
+def _url_trap_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    return f"""
+        WITH f AS ({TRAP_FRONTIER_SQL}),
+        parts AS (
+          SELECT {_HOST_SQL} AS host,
+                 {_TRAP_PATH_SQL} AS path,
+                 {_TRAP_QUERY_SQL} AS query
+          FROM f
+        ),
+        pre AS (
+          SELECT host, path, query, COUNT(*) AS cnt
+          FROM parts WHERE host <> '' GROUP BY host, path, query
+        ),
+        sig AS (
+          SELECT host,
+                 CAST(SUM(cnt) AS BIGINT) AS n_urls,
+                 COUNT(DISTINCT path) AS n_paths,
+                 COUNT(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g'))
+                   AS n_templates,
+                 COUNT(DISTINCT query) AS n_queries,
+                 CAST(MAX(len(list_filter(string_split(path, '/'),
+                                          x -> x <> ''))) AS INTEGER)
+                   AS max_depth
+          FROM pre GROUP BY host
+        )
+        SELECT host, n_urls, n_paths, n_templates, n_queries, max_depth,
+               {stable_round_sql("n_paths * 1.0 / n_urls", 6)}
+                 AS path_diversity,
+               {stable_round_sql("n_templates * 1.0 / n_paths", 6)}
+                 AS template_collapse,
+               {stable_round_sql("n_queries * 1.0 / n_urls", 6)}
+                 AS query_diversity,
+               (n_urls >= 20 AND (
+                  (2 * n_paths >= n_urls AND 10 * n_templates <= n_paths
+                   AND max_depth >= 3)
+                  OR 2 * n_queries >= n_urls)) AS is_trap
+        FROM sig ORDER BY host
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
     "first_wins_dedup": q_first_wins_dedup,
     "seen_antijoin": q_seen_antijoin,
     "host_skew_profile": q_host_skew_profile,
+    "url_trap_signals": q_url_trap_signals,
 }
 
 ORACLES = {
@@ -239,4 +356,5 @@ ORACLES = {
     "first_wins_dedup": _first_wins_sql(),
     "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
     "host_skew_profile": _host_skew_sql(),
+    "url_trap_signals": _url_trap_sql(),
 }
