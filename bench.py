@@ -121,6 +121,7 @@ EXTRA = [
     "ssjoin_prefix_pairs",
     "emb_gram_matrix",
     "url_trap_signals",
+    "sitemap_ingest",
 ]
 
 

@@ -341,6 +341,145 @@ def _url_trap_sql() -> str:
     """
 
 
+def sitemap_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host sitemap XML documents built from orders: one
+    sitemap per ok{0..4}.example.com host, entries ordered by orderkey.
+    Every 4th entry omits <lastmod>, every 7th omits <priority>, every
+    11th is malformed (no <loc>, must be dropped with a seq gap); <loc>
+    hosts are mixed-case so canonicalization is non-vacuous."""
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("ok"), (k % 5).cast("string"), F.lit(".example.com")
+    )
+    loc = F.concat(
+        F.lit("<loc>https://Ok"),
+        (k % 5).cast("string"),
+        F.lit(".Example.com/jobs/"),
+        k.cast("string"),
+        F.lit("?b="),
+        (k % 3).cast("string"),
+        F.lit("</loc>"),
+    )
+    lastmod = F.when(
+        k % 4 != 0,
+        F.concat(
+            F.lit("<lastmod>"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    prio = F.when(
+        k % 7 != 0,
+        F.concat(
+            F.lit("<priority>0."),
+            (k % 10).cast("string"),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.when(
+        k % 11 == 0, F.concat(F.lit("<url>"), lastmod, F.lit("</url>"))
+    ).otherwise(
+        F.concat(F.lit("<url>"), loc, lastmod, prio, F.lit("</url>"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(host.alias("host"), k.alias("k"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "e"))),
+                    lambda x: x["e"],
+                ),
+                "",
+            ).alias("sitemap_xml")
+        )
+    )
+
+
+_SITEMAP_ENTRY_SQL = """
+          SELECT 'ok' || CAST(o_orderkey % 5 AS VARCHAR) || '.example.com'
+                   AS host,
+                 o_orderkey AS k,
+                 CASE WHEN o_orderkey % 11 = 0 THEN
+                        '<url>'
+                        || CASE WHEN o_orderkey % 4 <> 0 THEN
+                             '<lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
+                             || '</lastmod>' ELSE '' END
+                        || '</url>'
+                      ELSE
+                        '<url><loc>https://Ok'
+                        || CAST(o_orderkey % 5 AS VARCHAR)
+                        || '.Example.com/jobs/'
+                        || CAST(o_orderkey AS VARCHAR)
+                        || '?b=' || CAST(o_orderkey % 3 AS VARCHAR)
+                        || '</loc>'
+                        || CASE WHEN o_orderkey % 4 <> 0 THEN
+                             '<lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
+                             || '</lastmod>' ELSE '' END
+                        || CASE WHEN o_orderkey % 7 <> 0 THEN
+                             '<priority>0.'
+                             || CAST(o_orderkey % 10 AS VARCHAR)
+                             || '</priority>' ELSE '' END
+                        || '</url>'
+                 END AS e
+          FROM orders
+"""
+
+
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemaps.py): per-host sitemap XML ->
+    ordered candidate rows with canonicalized URLs and freshness hints.
+    Malformed entries (no <loc>) leave seq gaps; missing <lastmod> /
+    <priority> surface as NULLs."""
+    from job_crawler_spark.sources.sitemaps import parse_sitemap_entries
+
+    rows = parse_sitemap_entries(sitemap_docs_df(spark, sf_dir))
+    return rows.select(
+        "host",
+        "seq",
+        "loc",
+        canonicalize_url_col(F.col("loc")).alias("url_canon"),
+        "lastmod",
+        "priority",
+    ).orderBy("host", "seq")
+
+
+def _sitemap_ingest_sql() -> str:
+    canon = _CANON_SQL.replace("url,", "loc,").replace("(url)", "(loc)")
+    return f"""
+        WITH ent AS ({_SITEMAP_ENTRY_SQL}),
+        x AS (
+          SELECT host, string_agg(e, '' ORDER BY k) AS xml
+          FROM ent GROUP BY host
+        ),
+        u AS (
+          SELECT host,
+                 unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+                   AS entry,
+                 generate_subscripts(
+                   regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1), 1)
+                   AS seq
+          FROM x
+        ),
+        f AS (
+          SELECT host, CAST(seq AS INTEGER) AS seq,
+                 nullif(trim(regexp_extract(
+                   entry, '<loc>([^<]*)</loc>', 1)), '') AS loc,
+                 TRY_CAST(substr(nullif(trim(regexp_extract(
+                   entry, '<lastmod>([^<]*)</lastmod>', 1)), ''), 1, 10)
+                   AS DATE) AS lastmod,
+                 TRY_CAST(nullif(trim(regexp_extract(
+                   entry, '<priority>([^<]*)</priority>', 1)), '')
+                   AS DOUBLE) AS priority
+          FROM u
+        )
+        SELECT host, seq, loc, {canon} AS url_canon, lastmod, priority
+        FROM f WHERE loc IS NOT NULL
+        ORDER BY host, seq
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -348,6 +487,7 @@ QUERIES = {
     "seen_antijoin": q_seen_antijoin,
     "host_skew_profile": q_host_skew_profile,
     "url_trap_signals": q_url_trap_signals,
+    "sitemap_ingest": q_sitemap_ingest,
 }
 
 ORACLES = {
@@ -357,4 +497,5 @@ ORACLES = {
     "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
     "host_skew_profile": _host_skew_sql(),
     "url_trap_signals": _url_trap_sql(),
+    "sitemap_ingest": _sitemap_ingest_sql(),
 }
