@@ -122,6 +122,7 @@ EXTRA = [
     "emb_gram_matrix",
     "url_trap_signals",
     "sitemap_ingest",
+    "robots_rules",
 ]
 
 

@@ -480,6 +480,152 @@ def _sitemap_ingest_sql() -> str:
     """
 
 
+def robots_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic robots.txt corpus from nation: 25 hosts, every doc
+    carries a decoy FancyBot group (deny-all, delay 99) that a correct
+    parser must ignore; the ``*`` group varies per key — deny pairs
+    (n%4==0), an extra Allow (n%3==0), an empty Disallow that must be
+    dropped (n%6==0), an explicit Crawl-delay (n%5==0) — and every 7th-ish
+    host (n%7==3) has NO ``*`` group at all (default-rules path)."""
+    n = F.col("n_nationkey")
+    host = F.concat(F.lit("h"), n.cast("string"), F.lit(".example.com"))
+    nl = F.lit("\n")
+    star = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(
+            n % 4 == 0, F.lit("Disallow: /private\nDisallow: /admin\n")
+        ).otherwise(F.lit("")),
+        F.when(n % 3 == 0, F.lit("Allow: /jobs\n")).otherwise(F.lit("")),
+        F.lit("Allow: /\n"),
+        F.when(n % 6 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.when(
+            n % 5 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "), (n % 7 + 1).cast("string"), nl
+            ),
+        ).otherwise(F.lit("")),
+    )
+    txt = F.concat(
+        F.lit("# robots for "),
+        host,
+        nl,
+        F.lit("User-agent: FancyBot\nDisallow: /\nCrawl-delay: 99\n\n"),
+        F.when(n % 7 == 3, F.lit("")).otherwise(star),
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return nation.select(host.alias("host"), txt.alias("robots_txt"))
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (sources/robots.py) exploded to scalar rule rows:
+    one (host, kind, pos, value) per Allow/Disallow prefix in document
+    order plus one crawl-delay row per host with the resolved delay
+    (explicit group value or the scheduler default 1)."""
+    from job_crawler_spark.sources.robots import parse_robots
+
+    r = parse_robots(robots_docs_df(spark, sf_dir))
+    a = r.select(
+        "host", F.posexplode("allow").alias("p0", "value")
+    ).select(
+        "host",
+        F.lit("allow").alias("kind"),
+        (F.col("p0") + 1).alias("pos"),
+        "value",
+    )
+    d = r.select(
+        "host", F.posexplode("deny").alias("p0", "value")
+    ).select(
+        "host",
+        F.lit("deny").alias("kind"),
+        (F.col("p0") + 1).alias("pos"),
+        "value",
+    )
+    c = r.select(
+        "host",
+        F.lit("crawl-delay").alias("kind"),
+        F.lit(1).alias("pos"),
+        F.col("crawl_delay").cast("string").alias("value"),
+    )
+    return a.unionAll(d).unionAll(c).orderBy("host", "kind", "pos")
+
+
+def _robots_rules_sql() -> str:
+    return """
+        WITH n AS (
+          SELECT n_nationkey AS n,
+                 'h' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+                   AS host
+          FROM nation
+        ),
+        t AS (
+          SELECT host,
+                 '# robots for ' || host || chr(10)
+                 || 'User-agent: FancyBot' || chr(10) || 'Disallow: /'
+                 || chr(10) || 'Crawl-delay: 99' || chr(10) || chr(10)
+                 || CASE WHEN n % 7 = 3 THEN '' ELSE
+                      'User-agent: *' || chr(10)
+                      || CASE WHEN n % 4 = 0 THEN
+                           'Disallow: /private' || chr(10)
+                           || 'Disallow: /admin' || chr(10) ELSE '' END
+                      || CASE WHEN n % 3 = 0 THEN
+                           'Allow: /jobs' || chr(10) ELSE '' END
+                      || 'Allow: /' || chr(10)
+                      || CASE WHEN n % 6 = 0 THEN
+                           'Disallow:' || chr(10) ELSE '' END
+                      || CASE WHEN n % 5 = 0 THEN
+                           'Crawl-delay: ' || CAST(n % 7 + 1 AS VARCHAR)
+                           || chr(10) ELSE '' END
+                    END AS txt
+          FROM n
+        ),
+        grp AS (
+          SELECT host,
+                 list_filter(
+                   regexp_split_to_array(replace(txt, chr(13), ''),
+                                         '(?i)User-agent:'),
+                   s -> lower(trim(string_split(s, chr(10))[1])) = '*'
+                 )[1] AS body
+          FROM t
+        ),
+        ln AS (
+          SELECT host, string_split(coalesce(body, ''), chr(10)) AS ls
+          FROM grp
+        ),
+        rules AS (
+          SELECT host, 'allow' AS kind,
+                 list_filter(list_transform(ls, l ->
+                   regexp_extract(l, '(?i)^\\s*allow:\\s*(\\S*)', 1)),
+                   v -> v <> '') AS vals
+          FROM ln
+          UNION ALL
+          SELECT host, 'deny',
+                 list_filter(list_transform(ls, l ->
+                   regexp_extract(l, '(?i)^\\s*disallow:\\s*(\\S*)', 1)),
+                   v -> v <> '')
+          FROM ln
+        ),
+        exploded AS (
+          SELECT host, kind,
+                 CAST(generate_subscripts(vals, 1) AS INTEGER) AS pos,
+                 unnest(vals) AS value
+          FROM rules
+        ),
+        delay AS (
+          SELECT host, 'crawl-delay' AS kind, 1 AS pos,
+                 CAST(COALESCE(TRY_CAST(
+                   list_filter(list_transform(ls, l ->
+                     regexp_extract(l, '(?i)^\\s*crawl-delay:\\s*(\\S*)',
+                                    1)), v -> v <> '')[1]
+                   AS INTEGER), 1) AS VARCHAR) AS value
+          FROM ln
+        )
+        SELECT host, kind, pos, value FROM exploded
+        UNION ALL
+        SELECT host, kind, pos, value FROM delay
+        ORDER BY host, kind, pos
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -488,6 +634,7 @@ QUERIES = {
     "host_skew_profile": q_host_skew_profile,
     "url_trap_signals": q_url_trap_signals,
     "sitemap_ingest": q_sitemap_ingest,
+    "robots_rules": q_robots_rules,
 }
 
 ORACLES = {
@@ -498,4 +645,5 @@ ORACLES = {
     "host_skew_profile": _host_skew_sql(),
     "url_trap_signals": _url_trap_sql(),
     "sitemap_ingest": _sitemap_ingest_sql(),
+    "robots_rules": _robots_rules_sql(),
 }
