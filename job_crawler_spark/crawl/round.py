@@ -128,6 +128,16 @@ class CrawlEngine:
     # which leaves one superseded copy once refetched) reaches this fraction
     # of the table's physical rows. The trigger is free: an in-memory
     # counter vs a manifest row count — no table scan.
+    # Opt-in crawler-trap demotion (operators/traps.py): each round profiles
+    # the pending frontier's per-host URL-space signals (path diversity /
+    # template collapse / query diversity / depth) and excludes trap-flagged
+    # hosts from scheduling. Demotion, not deletion: the rows stay pending
+    # in the frontier table, so flipping the flag (or a threshold change)
+    # re-admits them — and the signal pass is two map-side-combined
+    # aggregates over the already-read frontier frame. Default False: the
+    # reference-parity gates pin the crawl order WITHOUT demotion, and trap
+    # policy is a deployment decision.
+    trap_demotion: bool = False
     auto_compact: bool = True
     compact_superseded_frac: float = 0.2
     # The backlog counter is in-memory and lost on restart, so every
@@ -453,8 +463,18 @@ class CrawlEngine:
         frontier = cat.read(spark, self.T_FRONTIER, version=fv, schema=PENDING_SCHEMA)
         seen = cat.read(spark, self.T_SEEN, version=sv, schema=schemas.SEEN_SCHEMA)
 
+        sched_in = frontier
+        if self.trap_demotion:
+            from job_crawler_spark.operators.traps import (
+                demote_traps,
+                url_trap_signals,
+            )
+
+            sched_in = demote_traps(
+                frontier, url_trap_signals(frontier, url_col="url_canon")
+            )
         batch = schedule_batch(
-            frontier, self.robots, self.round_seconds,
+            sched_in, self.robots, self.round_seconds,
             self._effective_salt_buckets(),
             salted=self.salted,
         ).cache()

@@ -118,6 +118,61 @@ def test_demote_traps_filters_flagged_hosts(spark):
     assert kept.count() == 30
 
 
+def test_engine_trap_demotion_opt_in(spark, tmp_path):
+    # trap host never scheduled when the flag is on; its rows stay PENDING
+    # (demotion, not deletion); the default engine schedules it
+    from job_crawler_spark.catalog import Catalog
+    from job_crawler_spark.crawl.round import CrawlEngine
+    from job_crawler_spark.sources import synth
+
+    trap_urls = [
+        (f"https://cal-trap.example/d/{2000 + i % 7}/{i % 28 + 1}/ev-{i}",)
+        for i in range(40)
+    ]
+
+    def seeds():
+        trap = spark.createDataFrame(trap_urls, "url STRING").select(
+            "url",
+            F.lit(5).alias("depth"),
+            F.lit(0.5).alias("priority"),
+            F.lit(0).alias("round"),
+        )
+        return synth.seed_frontier(spark, 120).select(
+            "url", "depth", "priority", "round"
+        ).unionByName(trap)
+
+    def run_one(name, **kw):
+        eng = CrawlEngine(
+            spark=spark,
+            catalog=Catalog(str(tmp_path / name)),
+            robots=synth.robots_df(spark),
+            round_seconds=30,
+            bloom_shards=8,
+            bloom_bits=1 << 14,
+            bloom_k=5,
+            **kw,
+        )
+        eng.bootstrap(seeds())
+        eng.run_round(0)
+        sched_hosts = {
+            r.host
+            for r in eng.catalog.read(spark, eng.T_SCHED).collect()
+        }
+        pending_hosts = {
+            r.host
+            for r in eng.catalog.read(spark, eng.T_FRONTIER).collect()
+        }
+        return sched_hosts, pending_hosts
+
+    on_sched, on_pending = run_one("demote", trap_demotion=True)
+    assert "cal-trap.example" not in on_sched
+    assert "cal-trap.example" in on_pending  # demoted, not deleted
+    assert len(on_sched) > 0  # normal hosts still crawled
+
+    off_sched, _ = run_one("plain")
+    assert "cal-trap.example" in off_sched
+
+
 def test_plan_shape_two_exchanges_no_python(spark):
     # narrow projection -> (host,path,query) pre-agg -> host agg:
     # the multi-distinct Expand must sit ABOVE the first aggregate, and
