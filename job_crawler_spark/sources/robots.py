@@ -14,8 +14,8 @@ Protocol subset (RFC 9309 / the original 1994 REP), parsed per document:
 
 - the ``User-agent: <agent>`` group is located case-insensitively; rules
   are read from the FIRST group whose agent token matches (default
-  ``*``). Documents with no matching group yield empty rules and a NULL
-  crawl_delay — "no robots restrictions", robots_filter's default.
+  ``*``). Documents with no matching group yield empty rules and the
+  ``default_delay`` — "no robots restrictions", robots_filter's default.
 - ``Allow:`` / ``Disallow:`` path prefixes are collected in document
   order (longest-match precedence is the CONSUMER's job —
   politeness._longest_match_len — so order here is informational).
@@ -92,3 +92,44 @@ def parse_robots(
             _rule_values(lines, "disallow"), F.array().cast("array<string>")
         ).alias("deny"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-process Python oracle for golden/property tests (the
+# urls.py py_canonicalize pattern): same documented semantics, independent
+# engine (Python re), so a Java-regex or group-splitting edge can't hide.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def py_parse_robots(
+    txt: str, agent: str = "*", default_delay: int = 1
+) -> dict:
+    body = None
+    for s in _re.split(r"(?i)User-agent:", txt.replace("\r", "")):
+        if s.split("\n", 1)[0].strip().lower() == agent.lower():
+            body = s
+            break
+    lines = (body or "").split("\n")
+
+    def vals(tag: str) -> list[str]:
+        out = []
+        for line in lines:
+            m = _re.match(rf"(?i)^\s*{tag}:\s*(\S*)", line)
+            if m and m.group(1):
+                out.append(m.group(1))
+        return out
+
+    delay = default_delay
+    dv = vals("crawl-delay")
+    if dv:
+        try:
+            delay = int(dv[0])
+        except ValueError:
+            delay = default_delay
+    return {
+        "crawl_delay": delay,
+        "allow": vals("allow"),
+        "deny": vals("disallow"),
+    }

@@ -80,3 +80,48 @@ def parse_sitemap_entries(
             F.col("e.priority").alias("priority"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-process Python oracle for golden/property tests (the
+# urls.py py_canonicalize pattern).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import re as _re
+
+
+def py_parse_sitemap(xml: str) -> list[tuple]:
+    """(seq, loc, lastmod, priority) rows per the module contract."""
+    out = []
+    for i, m in enumerate(
+        _re.finditer(r"<url>(.*?)</url>", xml, _re.S), start=1
+    ):
+        entry = m.group(1)
+
+        def field(tag: str) -> str | None:
+            mm = _re.search(rf"<{tag}>([^<]*)</{tag}>", entry)
+            if not mm:
+                return None
+            v = mm.group(1).strip()
+            return v or None
+
+        loc = field("loc")
+        if loc is None:
+            continue
+        lastmod = None
+        lm = field("lastmod")
+        if lm:
+            try:
+                lastmod = _dt.date.fromisoformat(lm[:10])
+            except ValueError:
+                lastmod = None
+        prio = None
+        pv = field("priority")
+        if pv is not None:
+            try:
+                prio = float(pv)
+            except ValueError:
+                prio = None
+        out.append((i, loc, lastmod, prio))
+    return out

@@ -456,3 +456,119 @@ def test_incremental_minhash_is_full_restricted_to_new(spark):
     assert set(inc) == want
     for (a, b), (a_new, b_new) in inc.items():
         assert a_new == (a in new_ids) and b_new == (b in new_ids)
+
+
+# --- crawl-control source parsers vs Python re oracles -------------------------
+
+_rl_path = st.text(string.ascii_letters + string.digits + "/_-.", min_size=1, max_size=10)
+
+
+@st.composite
+def robots_docs(draw):
+    """A robots.txt body assembled from protocol lines, decoys and noise."""
+    lines = draw(
+        st.lists(
+            st.one_of(
+                st.sampled_from(
+                    [
+                        "User-agent: *",
+                        "User-agent: OtherBot",
+                        "user-AGENT:   *",
+                        "# a comment line",
+                        "",
+                        "garbage line without a colon",
+                        "Disallow:",
+                    ]
+                ),
+                _rl_path.map(lambda p: f"Disallow: /{p}"),
+                _rl_path.map(lambda p: f"Allow: /{p}"),
+                _rl_path.map(lambda p: f"  allow: /{p}"),
+                st.integers(0, 99).map(lambda n: f"Crawl-delay: {n}"),
+                st.sampled_from(
+                    ["Crawl-delay: soon", "Crawl-delay: 5x", "Crawl-delay:"]
+                ),
+            ),
+            max_size=14,
+        )
+    )
+    crlf = draw(st.booleans())
+    sep = "\r\n" if crlf else "\n"
+    return sep.join(lines)
+
+
+@given(st.lists(robots_docs(), min_size=1, max_size=20))
+@settings(max_examples=5, deadline=None)
+def test_parse_robots_matches_python_oracle(spark, docs):
+    from job_crawler_spark.sources.robots import parse_robots, py_parse_robots
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(docs)],
+        "host STRING, robots_txt STRING",
+    )
+    got = {
+        r.host: (r.crawl_delay, list(r.allow), list(r.deny))
+        for r in parse_robots(df).collect()
+    }
+    for i, t in enumerate(docs):
+        want = py_parse_robots(t)
+        assert got[str(i)] == (
+            want["crawl_delay"],
+            want["allow"],
+            want["deny"],
+        ), f"doc {i}: {t!r}"
+
+
+@st.composite
+def sitemap_docs(draw):
+    """A sitemap body: well-formed, partial and loc-less entries, noise."""
+    def entry(i):
+        loc = draw(st.one_of(st.none(), _rl_path))
+        lastmod = draw(
+            st.one_of(
+                st.none(),
+                st.dates(
+                    min_value=__import__("datetime").date(1990, 1, 1),
+                    max_value=__import__("datetime").date(2030, 12, 28),
+                ).map(lambda d: d.isoformat() + draw(st.sampled_from(["", "T09:30:00+00:00"]))),
+                st.sampled_from(["not-a-date", "  "]),
+            )
+        )
+        prio = draw(
+            st.one_of(
+                st.none(),
+                st.floats(0, 1, allow_nan=False).map(lambda f: f"{f:.3f}"),
+                st.sampled_from(["high", ""]),
+            )
+        )
+        parts = []
+        if loc is not None:
+            parts.append(f"<loc> https://h/{loc} </loc>")
+        if lastmod is not None:
+            parts.append(f"<lastmod>{lastmod}</lastmod>")
+        if prio is not None:
+            parts.append(f"<priority>{prio}</priority>")
+        ws = draw(st.sampled_from(["", "\n  ", "\n"]))
+        return "<url>" + ws + ws.join(parts) + ws + "</url>"
+
+    n = draw(st.integers(0, 6))
+    body = "".join(entry(i) for i in range(n))
+    return f'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{body}</urlset>'
+
+
+@given(st.lists(sitemap_docs(), min_size=1, max_size=12))
+@settings(max_examples=5, deadline=None)
+def test_parse_sitemap_matches_python_oracle(spark, docs):
+    from job_crawler_spark.sources.sitemaps import (
+        parse_sitemap_entries,
+        py_parse_sitemap,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), x) for i, x in enumerate(docs)],
+        "host STRING, sitemap_xml STRING",
+    )
+    got: dict[str, list] = {str(i): [] for i in range(len(docs))}
+    for r in parse_sitemap_entries(df).collect():
+        got[r.host].append((r.seq, r.loc, r.lastmod, r.priority))
+    for i, x in enumerate(docs):
+        assert sorted(got[str(i)]) == sorted(py_parse_sitemap(x)), f"doc {i}: {x!r}"
