@@ -123,6 +123,7 @@ EXTRA = [
     "url_trap_signals",
     "sitemap_ingest",
     "robots_rules",
+    "revisit_schedule",
 ]
 
 

@@ -626,6 +626,108 @@ def _robots_rules_sql() -> str:
     """
 
 
+def fetch_history_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-URL fetch history derived from lineitem: each
+    order is a URL, each of its 1-7 line numbers a fetch round, and the
+    content version steps through ``(l_orderkey + parity * round//3) % 4``
+    — so even orderkeys never change after discovery (pure stable streak)
+    while odd orderkeys change at rounds 3 and 6 (streak reset), giving
+    the revisit scheduler every mix of change histories at every gate
+    scale.
+
+    The driver's synthetic lineitem carries duplicate (l_orderkey,
+    l_linenumber) pairs; the trailing distinct (rows are identical by
+    construction, so it is deterministic) restores the operator's
+    one-row-per-(URL, round) contract."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    version = (
+        F.col("l_orderkey")
+        + (F.col("l_orderkey") % 2) * F.expr("l_linenumber DIV 3")
+    ) % 4
+    return li.select(
+        F.concat(
+            F.lit("https://board"),
+            (F.col("l_orderkey") % 7).cast("string"),
+            F.lit(".example.com/jobs/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("url_canon"),
+        F.col("l_linenumber").cast("int").alias("round"),
+        F.concat(F.lit("v"), version.cast("string")).alias("content_hash"),
+    ).distinct()
+
+
+FETCH_HISTORY_SQL = """
+    SELECT DISTINCT 'https://board' || CAST(l_orderkey % 7 AS VARCHAR)
+             || '.example.com/jobs/' || CAST(l_orderkey AS VARCHAR)
+             AS url_canon,
+           CAST(l_linenumber AS INTEGER) AS round,
+           'v' || CAST((l_orderkey + (l_orderkey % 2) * (l_linenumber // 3))
+                       % 4 AS VARCHAR) AS content_hash
+    FROM lineitem
+"""
+
+#: Gate constants for the revisit schedule (current round sits just past
+#: the max fetch round so both due and not-due rows exist at every scale).
+REVISIT_NOW = 9
+REVISIT_BASE = 1
+REVISIT_MAX = 8
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven revisit scheduling (operators/revisit.py): adaptive
+    recrawl intervals from observed per-URL change history — interval
+    doubles per consecutive unchanged fetch, resets on change, capped at
+    REVISIT_MAX; due rows are the force_recrawl victims at round 9."""
+    from job_crawler_spark.operators.revisit import revisit_schedule
+
+    out = revisit_schedule(
+        fetch_history_df(spark, sf_dir),
+        REVISIT_NOW,
+        base_interval=REVISIT_BASE,
+        max_interval=REVISIT_MAX,
+    )
+    return out.withColumnRenamed("interval", "revisit_interval").orderBy(
+        "url_canon"
+    )
+
+
+def _revisit_sql() -> str:
+    streak = "n_fetches - COALESCE(last_chg_seq, 1)"
+    interval = (
+        f"CAST(LEAST({REVISIT_BASE} * CAST(POWER(2, LEAST({streak}, 20)) "
+        f"AS BIGINT), {REVISIT_MAX}) AS INTEGER)"
+    )
+    return f"""
+        WITH h AS ({FETCH_HISTORY_SQL}),
+        f AS (
+          SELECT url_canon, round,
+                 ROW_NUMBER() OVER w AS seq,
+                 (LAG(content_hash) OVER w IS NOT NULL
+                  AND content_hash <> LAG(content_hash) OVER w) AS chg
+          FROM h
+          WINDOW w AS (PARTITION BY url_canon ORDER BY round)
+        ),
+        a AS (
+          SELECT url_canon,
+                 CAST(COUNT(*) AS INTEGER) AS n_fetches,
+                 CAST(COALESCE(SUM(CASE WHEN chg THEN 1 ELSE 0 END), 0)
+                      AS INTEGER) AS n_changes,
+                 MAX(round) AS last_round,
+                 MIN(round) AS first_round,
+                 MAX(CASE WHEN chg THEN round END) AS last_chg_round,
+                 MAX(CASE WHEN chg THEN seq END) AS last_chg_seq
+          FROM f GROUP BY url_canon
+        )
+        SELECT url_canon, n_fetches, n_changes, last_round,
+               COALESCE(last_chg_round, first_round) AS last_change_round,
+               CAST({streak} AS INTEGER) AS stable_streak,
+               {interval} AS revisit_interval,
+               last_round + {interval} AS next_due,
+               last_round + {interval} <= {REVISIT_NOW} AS due
+        FROM a ORDER BY url_canon
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -635,6 +737,7 @@ QUERIES = {
     "url_trap_signals": q_url_trap_signals,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_rules": q_robots_rules,
+    "revisit_schedule": q_revisit_schedule,
 }
 
 ORACLES = {
@@ -646,4 +749,5 @@ ORACLES = {
     "url_trap_signals": _url_trap_sql(),
     "sitemap_ingest": _sitemap_ingest_sql(),
     "robots_rules": _robots_rules_sql(),
+    "revisit_schedule": _revisit_sql(),
 }
