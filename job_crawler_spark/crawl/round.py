@@ -987,6 +987,75 @@ class CrawlEngine:
         return {"recrawl": int(n_victims), "readmitted": int(n_readmit),
                 "round": last}
 
+    def revisit_due(
+        self, *, base_interval: int = 1, max_interval: int = 64
+    ) -> DataFrame:
+        """Change-rate-adaptive revisit schedule (operators/revisit.py)
+        computed from the engine's OWN fetch history: the mor documents
+        table keeps one round-keyed copy per successful fetch, so
+        (doc_id, round, xxhash64(spans)) is exactly the operator's
+        (url, round, content hash) contract — failed fetches never wrote a
+        docs row and correctly contribute no observation.
+
+        ``due`` is evaluated against ``next_round()`` (the round about to
+        run): a due row is one whose adaptive interval has elapsed by the
+        time a recrawl could actually happen. History depth is bounded by
+        ``compact_docs()`` — compaction folds superseded copies into the
+        latest, which RESETS a URL's observed history to its most recent
+        fetch (the bounded-history tradeoff any 10^10-URL scheduler makes;
+        at scale the schedule state lives in the same table the compactor
+        already maintains, no side state).
+
+        Requires ``docs_mode='mor'`` — cow keeps only the latest copy, so
+        there is no history to adapt to.
+        """
+        from job_crawler_spark.operators.revisit import revisit_schedule
+
+        if self.docs_mode != "mor":
+            raise ValueError(
+                "revisit_due requires docs_mode='mor' "
+                "(cow keeps no per-round fetch history)"
+            )
+        docs = self.catalog.read(self.spark, self.T_DOCS)
+        hist = docs.select(
+            F.col("doc_id").alias("url_canon"),
+            F.col("round").cast("int").alias("round"),
+            F.xxhash64("spans").cast("string").alias("content_hash"),
+        )
+        return revisit_schedule(
+            hist,
+            self.next_round(),
+            base_interval=base_interval,
+            max_interval=max_interval,
+        )
+
+    def revisit_round(
+        self,
+        *,
+        base_interval: int = 1,
+        max_interval: int = 64,
+        budget: int | None = None,
+        priority: float = 1.0,
+    ) -> dict:
+        """Policy -> mechanism: compute the adaptive revisit schedule and
+        ``force_recrawl`` the due URLs (most-volatile-first under
+        ``budget``, so a bounded recrawl allowance is spent on the URLs
+        whose content actually churns). Inherits force_recrawl's
+        idempotence and its cuckoo-backend requirement; the re-fetched
+        copies supersede in mor and feed the auto-compaction backlog."""
+        from job_crawler_spark.operators.revisit import due_urls
+
+        victims = due_urls(
+            self.revisit_due(
+                base_interval=base_interval, max_interval=max_interval
+            )
+        )
+        if budget is not None:
+            victims = victims.limit(int(budget))
+        out = self.force_recrawl(victims, priority=priority)
+        out["budget"] = budget
+        return out
+
     def _maybe_compact(self) -> bool:
         """Auto-compaction policy (run() calls this between rounds): compact
         the mor documents table once the re-crawl backlog reaches

@@ -88,6 +88,70 @@ def test_due_urls_orders_by_volatility(spark):
     assert [r.url_canon for r in due_urls(sched).collect()] == ["u/a", "u/b"]
 
 
+def test_engine_revisit_round_closes_the_loop(spark, tmp_path):
+    """Policy -> mechanism: the engine schedules recrawls from its OWN mor
+    docs history, force_recrawls the due URLs, and the refetched (stable,
+    deterministic-content) copies push their intervals UP — observed
+    adaptive backoff end-to-end."""
+    from job_crawler_spark.catalog import Catalog
+    from job_crawler_spark.crawl.round import CrawlEngine
+    from job_crawler_spark.sources import synth
+
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "rw")),
+        robots=synth.robots_df(spark),
+        round_seconds=30,
+        seen_filter="cuckoo",
+        bloom_shards=8,
+        cuckoo_buckets=1 << 10,
+    )
+    eng.bootstrap(synth.seed_frontier(spark, 120))
+    eng.run(2)
+
+    # every fetched URL has exactly one history row; with max_interval=1
+    # all of them are due by the upcoming round
+    sched = eng.revisit_due(max_interval=1).cache()
+    assert sched.filter(F.col("n_fetches") != 1).count() == 0
+    assert sched.filter(~F.col("due")).count() == 0
+    n_docs = sched.count()
+    sched.unpersist()
+
+    res = eng.revisit_round(max_interval=1, budget=3, priority=50.0)
+    assert res["recrawl"] == 3 and res["budget"] == 3
+
+    # victims get refetched within a few rounds (per-host budgets may
+    # stagger them); deterministic pages -> same span hash -> a pure
+    # stable streak, so the adaptive interval DOUBLES off the refetch
+    for _ in range(3):
+        eng.run_round(eng.next_round())
+    sched2 = eng.revisit_due(max_interval=64)
+    twice = [r for r in sched2.collect() if r.n_fetches == 2]
+    assert len(twice) == 3
+    assert all(
+        (r.n_changes, r.stable_streak, r.interval) == (0, 1, 2) for r in twice
+    )
+    assert n_docs >= 3
+
+
+def test_engine_revisit_requires_mor(spark, tmp_path):
+    from job_crawler_spark.catalog import Catalog
+    from job_crawler_spark.crawl.round import CrawlEngine
+    from job_crawler_spark.sources import synth
+
+    eng = CrawlEngine(
+        spark=spark,
+        catalog=Catalog(str(tmp_path / "cw")),
+        robots=synth.robots_df(spark),
+        round_seconds=30,
+        docs_mode="cow",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="mor"):
+        eng.revisit_due()
+
+
 def test_single_exchange_plan(spark):
     """The lag/row_number window and BOTH hash aggregates must share one
     hash exchange on url_canon — the groupBy reuses the window's
