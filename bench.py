@@ -124,6 +124,8 @@ EXTRA = [
     "sitemap_ingest",
     "robots_rules",
     "revisit_schedule",
+    "redirect_resolve",
+    "host_mirrors",
 ]
 
 

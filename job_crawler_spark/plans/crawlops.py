@@ -728,6 +728,152 @@ def _revisit_sql() -> str:
     """
 
 
+REDIRECT_MAX_HOPS = 8
+
+
+def redirect_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redirect edge set derived from orders (dense keys
+    0..N-1): ``u/k -> u/(k-1)`` chains of length <= 4 terminating at
+    multiples of 5, EXCEPT k = 28 mod 35 redirects FORWARD (``u/k ->
+    u/(k+1)``) whose partner's k-1 rule points straight back — a 2-cycle
+    — and k = 30 mod 35 (a multiple of 5 that would otherwise be final)
+    feeds INTO that cycle, so the fixture has resolved chains (hops
+    1..4), isolated loops, and unresolved feeder chains at every SF."""
+    k = F.col("k")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    dst_k = F.when((k % 5 == 3) & (k % 7 == 0), k + 1).otherwise(k - 1)
+    return orders.filter((k % 5 != 0) | (k % 7 == 2)).select(
+        F.concat(F.lit("u/"), k.cast("string")).alias("src"),
+        F.concat(F.lit("u/"), dst_k.cast("string")).alias("dst"),
+    )
+
+
+REDIRECT_EDGES_SQL = """
+    SELECT 'u/' || CAST(k AS VARCHAR) AS src,
+           'u/' || CAST(CASE WHEN k % 5 = 3 AND k % 7 = 0 THEN k + 1
+                             ELSE k - 1 END AS VARCHAR) AS dst
+    FROM (SELECT DISTINCT o_orderkey AS k FROM orders)
+    WHERE k % 5 <> 0 OR k % 7 = 2
+"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    doubling resolves every redirect source to its final URL in
+    ceil(log2(max_hops)) = 3 self-joins; cycles and over-cap chains come
+    back unresolved (NULL final/hops). The oracle is a DuckDB recursive
+    CTE walking the same edges hop by hop."""
+    from job_crawler_spark.operators.redirects import resolve_redirects
+
+    res = resolve_redirects(
+        redirect_edges_df(spark, sf_dir), max_hops=REDIRECT_MAX_HOPS
+    )
+    out = res.orderBy("src_url")
+    out._graft_checkpoints = getattr(res, "_graft_checkpoints", [])
+    return out
+
+
+def _redirect_resolve_sql() -> str:
+    return f"""
+        WITH RECURSIVE
+        edges AS ({REDIRECT_EDGES_SQL}),
+        walk(src, cur, hops) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.cur
+          WHERE w.hops < {REDIRECT_MAX_HOPS}
+        ),
+        term AS (
+          SELECT w.src, w.cur AS final_url, w.hops
+          FROM walk w LEFT JOIN edges e ON e.src = w.cur
+          WHERE e.src IS NULL
+        )
+        SELECT s.src AS src_url, t.final_url,
+               CAST(t.hops AS INTEGER) AS hops,
+               t.final_url IS NOT NULL AS resolved
+        FROM (SELECT DISTINCT src FROM edges) s
+        LEFT JOIN term t ON t.src = s.src
+        ORDER BY src_url
+    """
+
+
+MIRROR_THRESHOLD = 0.4
+
+
+def mirror_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mirrored-host layout over documents (doc_id is a
+    dense int, every text unique): each doc lives on primary host
+    ``m(id%7)``; even-id docs are ALSO served by mirror host
+    ``m(id%7+7)``, so pairs (m_h, m_{h+7}) share exactly the even half
+    of m_h's fingerprint set (Jaccard ~ 0.5) and every other host pair
+    shares nothing."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+    )
+    primary = d.select(
+        F.concat(F.lit("m"), (F.col("id") % 7).cast("string")).alias("host"),
+        "content_hash",
+    )
+    mirrored = d.filter(F.col("id") % 2 == 0).select(
+        F.concat(F.lit("m"), (F.col("id") % 7 + 7).cast("string")).alias(
+            "host"
+        ),
+        "content_hash",
+    )
+    return primary.unionAll(mirrored)
+
+
+MIRROR_PAGES_SQL = """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h
+               FROM documents)
+    SELECT 'm' || CAST(id % 7 AS VARCHAR) AS host, h FROM d
+    UNION ALL
+    SELECT 'm' || CAST(id % 7 + 7 AS VARCHAR) AS host, h FROM d
+    WHERE id % 2 = 0
+"""
+
+
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/mirrors.py, Bharat-Broder):
+    host pairs whose content-fingerprint sets overlap at Jaccard >= 0.4
+    via ONE equi-join on the fingerprint; a crawler keeps one
+    representative per pair and demotes the rest, like trap demotion."""
+    from job_crawler_spark.operators.mirrors import mirror_pairs
+
+    return mirror_pairs(
+        mirror_pages_df(spark, sf_dir),
+        hash_col="content_hash",
+        threshold=MIRROR_THRESHOLD,
+    ).orderBy("host_a", "host_b")
+
+
+def _host_mirrors_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    jac = stable_round_sql("shared / (sa.n + sb.n - shared)", 6)
+    return f"""
+        WITH pages AS ({MIRROR_PAGES_SQL}),
+        sets AS (SELECT DISTINCT host, h FROM pages),
+        sizes AS (SELECT host, COUNT(*) AS n FROM sets GROUP BY host),
+        shared AS (
+          SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+          FROM sets a JOIN sets b ON a.h = b.h AND a.host < b.host
+          GROUP BY 1, 2
+        )
+        SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+               {jac} AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.host = host_a
+        JOIN sizes sb ON sb.host = host_b
+        WHERE {jac} >= {MIRROR_THRESHOLD}
+        ORDER BY host_a, host_b
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -738,6 +884,8 @@ QUERIES = {
     "sitemap_ingest": q_sitemap_ingest,
     "robots_rules": q_robots_rules,
     "revisit_schedule": q_revisit_schedule,
+    "redirect_resolve": q_redirect_resolve,
+    "host_mirrors": q_host_mirrors,
 }
 
 ORACLES = {
@@ -750,4 +898,6 @@ ORACLES = {
     "sitemap_ingest": _sitemap_ingest_sql(),
     "robots_rules": _robots_rules_sql(),
     "revisit_schedule": _revisit_sql(),
+    "redirect_resolve": _redirect_resolve_sql(),
+    "host_mirrors": _host_mirrors_sql(),
 }
