@@ -138,6 +138,22 @@ class CrawlEngine:
     # reference-parity gates pin the crawl order WITHOUT demotion, and trap
     # policy is a deployment decision.
     trap_demotion: bool = False
+    # Opt-in redirect handling (operators/redirects.py): a frame of
+    # HTTP-3xx edges (src, dst — CANONICAL URLs) resolved ONCE via pointer
+    # doubling and applied at every admission point (bootstrap, seed
+    # ingest, outlink expansion): sources rewrite to their final landing
+    # URL, redirect loops are dropped before they ever reach the frontier.
+    # Rewriting happens BEFORE first-wins dedup, so seeds collapsing onto
+    # one landing URL dedup naturally, and the seen filter only ever
+    # tracks final URLs (intermediate hops re-rewrite via one
+    # broadcastable join per admission — no filter state for them).
+    # Default None: the reference-parity gates pin crawl order WITHOUT
+    # redirects, and the map is deployment data.
+    redirects: DataFrame | None = None
+    redirect_max_hops: int = 8
+    _redirect_res: DataFrame | None = field(
+        default=None, init=False, repr=False
+    )
     auto_compact: bool = True
     compact_superseded_frac: float = 0.2
     # The backlog counter is in-memory and lost on restart, so every
@@ -284,10 +300,33 @@ class CrawlEngine:
         return cuckoo.split_by_cuckoo(not_pending, self.spark, shards, "url_canon")
 
     # -- bootstrap -------------------------------------------------------------
+    def _apply_redirects(self, canon: DataFrame) -> DataFrame:
+        """Rewrite admitted candidates through the optional redirect map:
+        sources land on their final URL (host recomputed), loop/over-cap
+        sources are dropped. No-op without a map. Must run BEFORE dedup so
+        candidates collapsing onto one landing URL dedup normally."""
+        if self.redirects is None:
+            return canon
+        from job_crawler_spark.operators.redirects import rewrite_frontier
+
+        if self._redirect_res is None:
+            from job_crawler_spark.operators.checkpoints import tracked_persist
+            from job_crawler_spark.operators.redirects import resolve_redirects
+
+            # resolved once per engine instance, reused by every admission
+            self._redirect_res = tracked_persist(
+                resolve_redirects(
+                    self.redirects, max_hops=self.redirect_max_hops
+                )
+            )
+        out = rewrite_frontier(canon, self._redirect_res, url_col="url_canon")
+        return out.withColumn("host", host_col(F.col("url_canon")))
+
     def bootstrap(self, raw_frontier: DataFrame) -> None:
-        """Seed the frontier: canonicalize, drop null/invalid urls, first-wins
-        dedup on canonical URL by (priority DESC, url ASC)."""
-        canon = (
+        """Seed the frontier: canonicalize, drop null/invalid urls, rewrite
+        through the optional redirect map, first-wins dedup on canonical
+        URL by (priority DESC, url ASC)."""
+        canon = self._apply_redirects(
             raw_frontier.filter(F.col("url").isNotNull())
             .withColumn("url_canon", canonicalize_url_col(F.col("url")))
             .withColumn("host", host_col(F.col("url")))
@@ -520,7 +559,9 @@ class CrawlEngine:
         # same admission guard as bootstrap: a malformed outlink canonicalizes
         # to an empty host and must never enter the frontier (the robots
         # left-join would otherwise admit it with a default budget forever)
-        candidates = candidates.filter(F.col("host") != "")
+        candidates = self._apply_redirects(
+            candidates.filter(F.col("host") != "")
+        )
         # one row per canon: max priority, min depth (deterministic aggregates)
         candidates = candidates.groupBy("url_canon", "host").agg(
             F.max("priority").alias("priority"), F.min("depth").alias("depth")
@@ -799,6 +840,7 @@ class CrawlEngine:
             .withColumn("host", host_col(F.col("url")))
             .filter(F.col("host") != "")
         )
+        canon = self._apply_redirects(canon)
         deduped = first_wins_agg(
             canon.withColumn("neg_priority", -F.col("priority")),
             ["url_canon"],
@@ -1055,6 +1097,26 @@ class CrawlEngine:
         out = self.force_recrawl(victims, priority=priority)
         out["budget"] = budget
         return out
+
+    def mirror_detect(
+        self, *, threshold: float = 0.5, max_hosts_per_hash: int = 64
+    ) -> DataFrame:
+        """Mirror-host detection (operators/mirrors.py) over the engine's
+        OWN documents: host from doc_id (the canonical URL), fingerprint =
+        xxhash64(spans) — the same content key the revisit scheduler uses,
+        so "mirror" means span-identical pages, robust to URL differences.
+        Returns the mirror_pairs frame; policy (demote all but the
+        lexicographically-first host, feed force_recrawl exclusions, ...)
+        stays the caller's, like revisit_round vs revisit_due."""
+        from job_crawler_spark.operators.mirrors import mirror_pairs
+
+        pages = self.read_docs().select(
+            host_col(F.col("doc_id")).alias("host"),
+            F.xxhash64("spans").cast("string").alias("content_hash"),
+        )
+        return mirror_pairs(
+            pages, threshold=threshold, max_hosts_per_hash=max_hosts_per_hash
+        )
 
     def _maybe_compact(self) -> bool:
         """Auto-compaction policy (run() calls this between rounds): compact
