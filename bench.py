@@ -126,6 +126,7 @@ EXTRA = [
     "revisit_schedule",
     "redirect_resolve",
     "host_mirrors",
+    "dust_rules",
 ]
 
 

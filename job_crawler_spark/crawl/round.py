@@ -154,6 +154,16 @@ class CrawlEngine:
     _redirect_res: DataFrame | None = field(
         default=None, init=False, repr=False
     )
+    # Opt-in learned DUST rules (operators/dust.py mine_param_rules
+    # output): kept parameter-strip rules applied at the same admission
+    # points, AFTER redirect resolution (a final landing URL gets its
+    # learned-strippable params removed) and BEFORE first-wins dedup, so
+    # parameter aliases collapse without ever being fetched. One rewrite
+    # pass per admission, like the static canonicalizer — a URL whose
+    # stripped form is itself a redirect source re-rewrites at its next
+    # admission. Default None for the same parity/policy reasons as
+    # `redirects`.
+    dust_rules: DataFrame | None = None
     auto_compact: bool = True
     compact_superseded_frac: float = 0.2
     # The backlog counter is in-memory and lost on restart, so every
@@ -301,26 +311,39 @@ class CrawlEngine:
 
     # -- bootstrap -------------------------------------------------------------
     def _apply_redirects(self, canon: DataFrame) -> DataFrame:
-        """Rewrite admitted candidates through the optional redirect map:
-        sources land on their final URL (host recomputed), loop/over-cap
-        sources are dropped. No-op without a map. Must run BEFORE dedup so
-        candidates collapsing onto one landing URL dedup normally."""
-        if self.redirects is None:
-            return canon
-        from job_crawler_spark.operators.redirects import rewrite_frontier
+        """Rewrite admitted candidates through the optional redirect map
+        and then the optional learned DUST rules: redirect sources land
+        on their final URL (host recomputed), loop/over-cap sources are
+        dropped, learned-strippable query parameters are removed
+        (host-preserving). No-op without either. Must run BEFORE dedup so
+        candidates collapsing onto one rewritten URL dedup normally."""
+        if self.redirects is not None:
+            from job_crawler_spark.operators.redirects import rewrite_frontier
 
-        if self._redirect_res is None:
-            from job_crawler_spark.operators.checkpoints import tracked_persist
-            from job_crawler_spark.operators.redirects import resolve_redirects
-
-            # resolved once per engine instance, reused by every admission
-            self._redirect_res = tracked_persist(
-                resolve_redirects(
-                    self.redirects, max_hops=self.redirect_max_hops
+            if self._redirect_res is None:
+                from job_crawler_spark.operators.checkpoints import (
+                    tracked_persist,
                 )
+                from job_crawler_spark.operators.redirects import (
+                    resolve_redirects,
+                )
+
+                # resolved once per engine instance, reused by every admission
+                self._redirect_res = tracked_persist(
+                    resolve_redirects(
+                        self.redirects, max_hops=self.redirect_max_hops
+                    )
+                )
+            canon = rewrite_frontier(
+                canon, self._redirect_res, url_col="url_canon"
+            ).withColumn("host", host_col(F.col("url_canon")))
+        if self.dust_rules is not None:
+            from job_crawler_spark.operators.dust import apply_param_rules
+
+            canon = apply_param_rules(
+                canon, self.dust_rules, url_col="url_canon"
             )
-        out = rewrite_frontier(canon, self._redirect_res, url_col="url_canon")
-        return out.withColumn("host", host_col(F.col("url_canon")))
+        return canon
 
     def bootstrap(self, raw_frontier: DataFrame) -> None:
         """Seed the frontier: canonicalize, drop null/invalid urls, rewrite
@@ -1097,6 +1120,26 @@ class CrawlEngine:
         out = self.force_recrawl(victims, priority=priority)
         out["budget"] = budget
         return out
+
+    def mine_dust_rules(
+        self, *, min_support: int = 2, min_precision: float = 0.95
+    ) -> DataFrame:
+        """DUST rule mining (operators/dust.py) over the engine's OWN
+        documents: url = doc_id (the canonical URL), fingerprint =
+        xxhash64(spans) — the same content key mirror_detect and the
+        revisit scheduler use. Returns the full rule-verdict frame; the
+        caller decides when learned rules graduate into `dust_rules`
+        for admission rewriting (policy, like revisit_round vs
+        revisit_due)."""
+        from job_crawler_spark.operators.dust import mine_param_rules
+
+        pages = self.read_docs().select(
+            F.col("doc_id").alias("url"),
+            F.xxhash64("spans").cast("string").alias("content_hash"),
+        )
+        return mine_param_rules(
+            pages, min_support=min_support, min_precision=min_precision
+        )
 
     def mirror_detect(
         self, *, threshold: float = 0.5, max_hosts_per_hash: int = 64

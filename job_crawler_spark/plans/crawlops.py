@@ -874,6 +874,175 @@ def _host_mirrors_sql() -> str:
     """
 
 
+DUST_MIN_SUPPORT = 2
+DUST_MIN_PRECISION = 0.95
+
+
+def dust_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL-alias layout over documents (doc_id dense, text
+    unique): every doc has a plain URL on host ``d(id%9)``; even ids add
+    a ``?utm=1`` alias (same content — strippable), ids%3==0 add a
+    ``?page=2`` variant with DIFFERENT content (page is load-bearing),
+    ids%4==1 add ``?sid=9`` whose content matches only when id%8==1
+    (precision 0.5 — rejected on precision, not support), and ids%6==0
+    add a two-parameter ``?sess=k&utm=1`` alias PLUS its ``?sess=k``
+    strip target, so multi-parameter removal is exercised in both
+    engines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.md5(F.concat(F.col("text"), F.lit("p2")).cast("binary")).alias(
+            "h2"
+        ),
+        F.md5(F.concat(F.col("text"), F.lit("sid")).cast("binary")).alias(
+            "h3"
+        ),
+    )
+    i = F.col("id")
+    d = d.withColumn(
+        "u",
+        F.concat(
+            F.lit("d"),
+            (i % 9).cast("string"),
+            F.lit("/p/"),
+            i.cast("string"),
+        ),
+    )
+    u, h = F.col("u"), F.col("h")
+    sess = F.concat(F.lit("?sess="), (i % 7).cast("string"))
+    return (
+        d.select(u.alias("url"), h.alias("content_hash"))
+        .unionAll(
+            d.filter(i % 2 == 0).select(
+                F.concat(u, F.lit("?utm=1")).alias("url"),
+                h.alias("content_hash"),
+            )
+        )
+        .unionAll(
+            d.filter(i % 3 == 0).select(
+                F.concat(u, F.lit("?page=2")).alias("url"),
+                F.col("h2").alias("content_hash"),
+            )
+        )
+        .unionAll(
+            d.filter(i % 4 == 1).select(
+                F.concat(u, F.lit("?sid=9")).alias("url"),
+                F.when(i % 8 == 1, h).otherwise(F.col("h3")).alias(
+                    "content_hash"
+                ),
+            )
+        )
+        .unionAll(
+            d.filter(i % 6 == 0).select(
+                F.concat(u, sess, F.lit("&utm=1")).alias("url"),
+                h.alias("content_hash"),
+            )
+        )
+        .unionAll(
+            d.filter(i % 6 == 0).select(
+                F.concat(u, sess).alias("url"), h.alias("content_hash")
+            )
+        )
+    )
+
+
+DUST_PAGES_SQL = """
+    WITH raw_d AS (
+      SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h,
+             md5(text || 'p2') AS h2, md5(text || 'sid') AS h3
+      FROM documents
+    ),
+    b AS (
+      SELECT id,
+             'd' || CAST(id % 9 AS VARCHAR) || '/p/' || CAST(id AS VARCHAR)
+               AS u,
+             h, h2, h3
+      FROM raw_d
+    )
+    SELECT u AS url, h FROM b
+    UNION ALL
+    SELECT u || '?utm=1', h FROM b WHERE id % 2 = 0
+    UNION ALL
+    SELECT u || '?page=2', h2 FROM b WHERE id % 3 = 0
+    UNION ALL
+    SELECT u || '?sid=9', CASE WHEN id % 8 = 1 THEN h ELSE h3 END
+    FROM b WHERE id % 4 = 1
+    UNION ALL
+    SELECT u || '?sess=' || CAST(id % 7 AS VARCHAR) || '&utm=1', h
+    FROM b WHERE id % 6 = 0
+    UNION ALL
+    SELECT u || '?sess=' || CAST(id % 7 AS VARCHAR), h
+    FROM b WHERE id % 6 = 0
+"""
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (operators/dust.py, Bar-Yossef et al. WWW'07):
+    learn which query parameters are safe to strip per host from the
+    crawl's own (url, content_hash) evidence — each parameter of each
+    fetched URL is a candidate instance, applicable when the stripped
+    URL was itself fetched, valid when both carried the same content;
+    rules pass at support >= 2 AND precision >= 0.95. The oracle mines
+    the same fixture relationally in DuckDB (unnest-with-ordinality +
+    list slicing for the parameter removal)."""
+    from job_crawler_spark.operators.dust import mine_param_rules
+
+    return mine_param_rules(
+        dust_pages_df(spark, sf_dir),
+        min_support=DUST_MIN_SUPPORT,
+        min_precision=DUST_MIN_PRECISION,
+    ).orderBy("host", "param")
+
+
+def _dust_rules_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    prec = stable_round_sql("n_valid / support", 6)
+    return f"""
+        WITH pages AS ({DUST_PAGES_SQL}),
+        fetched AS (SELECT DISTINCT url, h FROM pages),
+        parsed AS (
+          SELECT url, h, split_part(url, '?', 1) AS base,
+                 str_split(
+                   substr(url, length(split_part(url, '?', 1)) + 2), '&'
+                 ) AS params
+          FROM fetched WHERE contains(url, '?')
+        ),
+        inst0 AS (
+          SELECT h, base, params,
+                 unnest(params) AS param_kv,
+                 unnest(range(1, len(params) + 1)) AS i
+          FROM parsed
+        ),
+        inst AS (
+          SELECT h, split_part(base, '/', 1) AS host,
+                 split_part(param_kv, '=', 1) AS param,
+                 base || CASE WHEN len(params) > 1
+                   THEN '?' || array_to_string(
+                     list_concat(params[1 : i - 1], params[i + 1 :]), '&')
+                   ELSE '' END AS stripped
+          FROM inst0
+        ),
+        app AS (
+          SELECT i.host, i.param, (i.h = f.h) AS valid
+          FROM inst i JOIN fetched f ON f.url = i.stripped
+          WHERE i.param <> ''
+        ),
+        agg AS (
+          SELECT host, param,
+                 CAST(COUNT(*) AS BIGINT) AS support,
+                 CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_valid
+          FROM app GROUP BY host, param
+        )
+        SELECT host, param, support, n_valid,
+               {prec} AS rule_precision,
+               (support >= {DUST_MIN_SUPPORT}
+                AND {prec} >= {DUST_MIN_PRECISION}) AS keep
+        FROM agg ORDER BY host, param
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -886,6 +1055,7 @@ QUERIES = {
     "revisit_schedule": q_revisit_schedule,
     "redirect_resolve": q_redirect_resolve,
     "host_mirrors": q_host_mirrors,
+    "dust_rules": q_dust_rules,
 }
 
 ORACLES = {
@@ -900,4 +1070,5 @@ ORACLES = {
     "revisit_schedule": _revisit_sql(),
     "redirect_resolve": _redirect_resolve_sql(),
     "host_mirrors": _host_mirrors_sql(),
+    "dust_rules": _dust_rules_sql(),
 }
