@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from job_crawler_spark.functions.compat import stable_round
+from job_crawler_spark.operators.checkpoints import tracked_persist
 
 
 def _host_of(url):
@@ -99,9 +100,15 @@ def mine_param_rules(
         raise ValueError(
             f"min_precision must be in (0, 1], got {min_precision}"
         )
-    fetched = pages.select(
-        F.col(url_col).alias("url"), F.col(hash_col).alias("h")
-    ).distinct()
+    # the evidence set feeds BOTH join sides (instances and strip
+    # targets); persist the distinct frame once so the input isn't
+    # scanned and distinct-shuffled twice (released via the result's
+    # _graft_checkpoints, repo-wide contract)
+    fetched = tracked_persist(
+        pages.select(
+            F.col(url_col).alias("url"), F.col(hash_col).alias("h")
+        ).distinct()
+    )
     base, params = _split_query(F.col("url"))
     parsed = fetched.select(
         "url", "h", base.alias("base"), params.alias("params")
@@ -152,7 +159,7 @@ def mine_param_rules(
             (F.col("h") == F.col("h_target")).cast("int")
         ).alias("n_valid"),
     )
-    return agg.select(
+    out = agg.select(
         "host",
         "param",
         "support",
@@ -168,6 +175,8 @@ def mine_param_rules(
             )
         ).alias("keep"),
     )
+    out._graft_checkpoints = [fetched]
+    return out
 
 
 def apply_param_rules(

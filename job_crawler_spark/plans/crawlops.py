@@ -987,11 +987,14 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     list slicing for the parameter removal)."""
     from job_crawler_spark.operators.dust import mine_param_rules
 
-    return mine_param_rules(
+    mined = mine_param_rules(
         dust_pages_df(spark, sf_dir),
         min_support=DUST_MIN_SUPPORT,
         min_precision=DUST_MIN_PRECISION,
-    ).orderBy("host", "param")
+    )
+    out = mined.orderBy("host", "param")
+    out._graft_checkpoints = getattr(mined, "_graft_checkpoints", [])
+    return out
 
 
 def _dust_rules_sql() -> str:

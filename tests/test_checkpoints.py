@@ -76,7 +76,7 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "cms_heavy_hitters", "hll_user_cardinality",
                  "fuzzy_name_pairs", "bm25_topk",
                  "event_affinity_rules", "graph_triangle_coeff",
-                 "graph_khop_dist", "redirect_resolve"):
+                 "graph_khop_dist", "redirect_resolve", "dust_rules"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)
