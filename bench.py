@@ -127,6 +127,7 @@ EXTRA = [
     "redirect_resolve",
     "host_mirrors",
     "dust_rules",
+    "anchor_profile",
 ]
 
 

@@ -440,7 +440,11 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "loc",
         canonicalize_url_col(F.col("loc")).alias("url_canon"),
-        "lastmod",
+        # gate-stable NULLs: a nullable DATE column stringifies as None
+        # (Spark/Arrow date-as-object) vs NaT (DuckDB datetime64) in the
+        # compare harness — emit ISO strings on both sides; the source
+        # operator itself keeps the real DATE type
+        F.date_format("lastmod", "yyyy-MM-dd").alias("lastmod"),
         "priority",
     ).orderBy("host", "seq")
 
@@ -474,7 +478,8 @@ def _sitemap_ingest_sql() -> str:
                    AS DOUBLE) AS priority
           FROM u
         )
-        SELECT host, seq, loc, {canon} AS url_canon, lastmod, priority
+        SELECT host, seq, loc, {canon} AS url_canon,
+               strftime(lastmod, '%Y-%m-%d') AS lastmod, priority
         FROM f WHERE loc IS NOT NULL
         ORDER BY host, seq
     """
@@ -1046,6 +1051,90 @@ def _dust_rules_sql() -> str:
     """
 
 
+ANCHOR_TOP_K = 3
+
+
+def anchor_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hyperlink fixture: every lineitem is a link from
+    host ``s(l_suppkey%50)`` to part page ``p/(l_partkey)``; anchor text
+    is the part's name, except suppliers ≡ 0 (mod 3) link with the
+    classic noise anchor 'Click here!' (mixed case + punctuation so
+    tokenization is exercised in both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    return li.join(part, li.l_partkey == part.p_partkey).select(
+        F.concat(
+            F.lit("s"), (F.col("l_suppkey") % 50).cast("string")
+        ).alias("src_host"),
+        F.concat(F.lit("p/"), F.col("l_partkey").cast("string")).alias(
+            "dst_url"
+        ),
+        F.when(
+            F.col("l_suppkey") % 3 == 0, F.lit("Click here!")
+        ).otherwise(F.col("p_name")).alias("anchor_text"),
+    )
+
+
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/anchors.py): per-target top-k
+    anchor terms weighted by DISTINCT LINKING HOSTS (one host's footer
+    repetition is one vote), raw mentions as tiebreaker — the link-
+    evidence ranking signal for unfetched frontier URLs. The oracle
+    re-mines the same links with regexp_split + two-level aggregation
+    in DuckDB."""
+    from job_crawler_spark.operators.anchors import anchor_text_profile
+
+    return anchor_text_profile(
+        anchor_links_df(spark, sf_dir), top_k=ANCHOR_TOP_K
+    ).orderBy("dst_url", "term_rank")
+
+
+def _anchor_profile_sql() -> str:
+    return f"""
+        WITH links AS (
+          SELECT 's' || CAST(l_suppkey % 50 AS VARCHAR) AS src_host,
+                 'p/' || CAST(l_partkey AS VARCHAR) AS dst_url,
+                 CASE WHEN l_suppkey % 3 = 0 THEN 'Click here!'
+                      ELSE p_name END AS anchor_text
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+        ),
+        terms AS (
+          SELECT dst_url, src_host,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(anchor_text),
+                                         '[^a-z0-9]+'),
+                   t -> t <> '')) AS term
+          FROM links
+        ),
+        per_host AS (
+          SELECT dst_url, term, src_host,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM terms GROUP BY 1, 2, 3
+        ),
+        per_term AS (
+          SELECT dst_url, term,
+                 CAST(COUNT(*) AS BIGINT) AS n_hosts,
+                 CAST(SUM(n) AS BIGINT) AS n_mentions
+          FROM per_host GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT dst_url, term, n_hosts, n_mentions,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY dst_url
+                   ORDER BY n_hosts DESC, n_mentions DESC, term ASC
+                 ) AS INTEGER) AS term_rank
+          FROM per_term
+        )
+        SELECT dst_url, term, n_hosts, n_mentions, term_rank
+        FROM ranked WHERE term_rank <= {ANCHOR_TOP_K}
+        ORDER BY dst_url, term_rank
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1059,6 +1148,7 @@ QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "host_mirrors": q_host_mirrors,
     "dust_rules": q_dust_rules,
+    "anchor_profile": q_anchor_profile,
 }
 
 ORACLES = {
@@ -1074,4 +1164,5 @@ ORACLES = {
     "redirect_resolve": _redirect_resolve_sql(),
     "host_mirrors": _host_mirrors_sql(),
     "dust_rules": _dust_rules_sql(),
+    "anchor_profile": _anchor_profile_sql(),
 }
