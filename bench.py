@@ -128,6 +128,7 @@ EXTRA = [
     "host_mirrors",
     "dust_rules",
     "anchor_profile",
+    "host_boilerplate",
 ]
 
 

@@ -1135,6 +1135,168 @@ def _anchor_profile_sql() -> str:
     """
 
 
+BOILER_LINE_TOKENS = 8
+BOILER_MIN_DOCS = 2
+BOILER_MIN_PCT = 50
+
+
+def boiler_lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line stream over documents (host = source, 25 docs
+    per host at every gate SF, per-host index k = doc_id div 20): each
+    doc's own tokens chunk into unique 8-token body lines, then planted
+    template lines exercise every verdict regime — a ``footer`` line in
+    ALL docs (support 25/25 -> boilerplate), a ``banner`` line where
+    k % 2 = 0 (13/25 = 52% -> just ABOVE the 50% bound), a ``teaser``
+    line where k >= 13 (12/25 = 48% -> just BELOW it), and for k = 1 the
+    footer AGAIN at a second position (same-doc repeat: one support
+    vote, two excised instances)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("host"),
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tk"),
+        )
+        .withColumn("k", F.expr("doc_id div 20"))
+        .withColumn(
+            "nb", F.expr(f"(size(tk) + {BOILER_LINE_TOKENS - 1}) div "
+                         f"{BOILER_LINE_TOKENS}")
+        )
+    )
+    w = BOILER_LINE_TOKENS
+    body = d.select(
+        "host",
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nb")),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), (i - 1) * w + 1, F.lit(w)), " "
+                ),
+            )
+        ).alias("p0", "line"),
+    ).select("host", "doc_id", (F.col("p0") + 1).alias("line_no"), "line")
+
+    def planted(cond, offset: int, text: str) -> DataFrame:
+        return d.filter(cond).select(
+            "host",
+            "doc_id",
+            (F.col("nb") + offset).alias("line_no"),
+            F.concat_ws(" ", F.lit(text.split()[0]), F.col("host"),
+                        F.lit(" ".join(text.split()[1:]))).alias("line"),
+        )
+
+    k = F.col("k")
+    footer = "footer contact privacy terms"
+    return (
+        body.unionAll(planted(F.lit(True), 1, footer))
+        .unionAll(planted(k % 2 == 0, 2, "banner cookie consent notice"))
+        .unionAll(planted(k >= 13, 3, "teaser subscribe newsletter today"))
+        .unionAll(planted(k == 1, 4, footer))
+    )
+
+
+BOILER_LINES_SQL = f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS host,
+             doc_id // 20 AS k,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    d2 AS (
+      SELECT *, (len(tk) + {BOILER_LINE_TOKENS - 1}) // {BOILER_LINE_TOKENS}
+               AS nb
+      FROM d
+    ),
+    body AS (
+      SELECT host, doc_id, CAST(u.i AS BIGINT) AS line_no,
+             array_to_string(
+               tk[(u.i - 1) * {BOILER_LINE_TOKENS} + 1 :
+                  u.i * {BOILER_LINE_TOKENS}], ' ') AS line
+      FROM d2, unnest(range(1, nb + 1)) AS u(i)
+    )
+    SELECT host, doc_id, line_no, line FROM body
+    UNION ALL
+    SELECT host, doc_id, nb + 1,
+           'footer ' || host || ' contact privacy terms' FROM d2
+    UNION ALL
+    SELECT host, doc_id, nb + 2,
+           'banner ' || host || ' cookie consent notice'
+    FROM d2 WHERE k % 2 = 0
+    UNION ALL
+    SELECT host, doc_id, nb + 3,
+           'teaser ' || host || ' subscribe newsletter today'
+    FROM d2 WHERE k >= 13
+    UNION ALL
+    SELECT host, doc_id, nb + 4,
+           'footer ' || host || ' contact privacy terms'
+    FROM d2 WHERE k = 1
+"""
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate detection + excision
+    (operators/boilerplate.py, the C4/CCNet template-removal class): a
+    line appearing in >= 2 docs AND >= 50% of a host's docs is template;
+    output is per-doc excision accounting with the cleaned text rebuilt
+    in line order. The oracle re-mines the same planted fixture
+    relationally in DuckDB."""
+    from job_crawler_spark.operators.boilerplate import (
+        boilerplate_verdicts,
+        excise_boilerplate,
+    )
+
+    lines = boiler_lines_df(spark, sf_dir)
+    v = boilerplate_verdicts(
+        lines, min_docs=BOILER_MIN_DOCS, min_pct=BOILER_MIN_PCT
+    )
+    out = excise_boilerplate(lines, v).orderBy("doc_id")
+    out._graft_checkpoints = getattr(v, "_graft_checkpoints", [])
+    return out
+
+
+def _host_boilerplate_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    ratio = stable_round_sql("n_boiler / n_lines", 6)
+    return f"""
+        WITH lines AS ({BOILER_LINES_SQL}),
+        ev AS (SELECT DISTINCT host, doc_id, line FROM lines),
+        sup AS (
+          SELECT host, line, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM ev GROUP BY 1, 2
+        ),
+        hd AS (
+          SELECT host, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS host_docs
+          FROM ev GROUP BY 1
+        ),
+        flag AS (
+          SELECT sup.host, sup.line
+          FROM sup JOIN hd ON hd.host = sup.host
+          WHERE n_docs >= {BOILER_MIN_DOCS}
+            AND n_docs * 100 >= {BOILER_MIN_PCT} * host_docs
+        ),
+        j AS (
+          SELECT l.host, l.doc_id, l.line_no, l.line,
+                 (f.line IS NOT NULL) AS b
+          FROM lines l
+          LEFT JOIN flag f ON f.host = l.host AND f.line = l.line
+        ),
+        acc AS (
+          SELECT host, doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler,
+                 COALESCE(string_agg(CASE WHEN NOT b THEN line END, ' '
+                                     ORDER BY line_no), '') AS clean_text
+          FROM j GROUP BY 1, 2
+        )
+        SELECT host, doc_id, n_lines, n_boiler,
+               {ratio} AS boiler_ratio, clean_text
+        FROM acc ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1149,6 +1311,7 @@ QUERIES = {
     "host_mirrors": q_host_mirrors,
     "dust_rules": q_dust_rules,
     "anchor_profile": q_anchor_profile,
+    "host_boilerplate": q_host_boilerplate,
 }
 
 ORACLES = {
@@ -1165,4 +1328,5 @@ ORACLES = {
     "host_mirrors": _host_mirrors_sql(),
     "dust_rules": _dust_rules_sql(),
     "anchor_profile": _anchor_profile_sql(),
+    "host_boilerplate": _host_boilerplate_sql(),
 }

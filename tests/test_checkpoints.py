@@ -76,7 +76,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "cms_heavy_hitters", "hll_user_cardinality",
                  "fuzzy_name_pairs", "bm25_topk",
                  "event_affinity_rules", "graph_triangle_coeff",
-                 "graph_khop_dist", "redirect_resolve", "dust_rules"):
+                 "graph_khop_dist", "redirect_resolve", "dust_rules",
+                 "host_boilerplate"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)
