@@ -129,6 +129,7 @@ EXTRA = [
     "dust_rules",
     "anchor_profile",
     "host_boilerplate",
+    "event_volume_anomalies",
 ]
 
 

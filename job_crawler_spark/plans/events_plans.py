@@ -999,6 +999,66 @@ ORDER BY user_id
 """
 
 
+MAD_K = 3
+
+
+def q_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust telemetry anomaly flags (operators/anomaly.py): per
+    event_type daily volumes judged by the k-MAD rule — lower-median /
+    lower-MAD rank statistics, integer-exact, so one burst day cannot
+    move the fence it is judged against (the data-derived form of the
+    reference's hand-set alert thresholds,
+    monitoring/performance_monitor.py:66-95)."""
+    from job_crawler_spark.operators.anomaly import mad_outliers
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return mad_outliers(
+        daily, group_cols=["event_type"], value_col="n", k=MAD_K
+    ).orderBy("event_type", "day")
+
+
+Q_EVENT_ANOMALIES_SQL = f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      FROM d
+    ),
+    m AS (
+      SELECT *, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+                  OVER (PARTITION BY event_type) AS med
+      FROM r
+    ),
+    v AS (SELECT *, abs(n - med) AS dev FROM m),
+    v2 AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev)
+               AS drn
+      FROM v
+    ),
+    v3 AS (
+      SELECT *, MAX(CASE WHEN drn = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY event_type) AS mad
+      FROM v2
+    )
+    SELECT event_type, day, n, med, dev, mad,
+           dev > {MAD_K} * mad AS is_anomaly
+    FROM v3 ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "funnel_conversion": q_funnel_conversion,
@@ -1018,6 +1078,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "event_type_share": q_event_type_share,
     "user_frecency": q_user_frecency,
+    "event_volume_anomalies": q_event_volume_anomalies,
 }
 
 ORACLES = {
@@ -1039,4 +1100,5 @@ ORACLES = {
     "user_sessions": Q_USER_SESSIONS_SQL,
     "event_type_share": Q_EVENT_TYPE_SHARE_SQL,
     "user_frecency": Q_USER_FRECENCY_SQL,
+    "event_volume_anomalies": Q_EVENT_ANOMALIES_SQL,
 }
