@@ -130,6 +130,8 @@ EXTRA = [
     "anchor_profile",
     "host_boilerplate",
     "event_volume_anomalies",
+    "wfq_schedule",
+    "shard_rebalance",
 ]
 
 

@@ -1297,6 +1297,148 @@ def _host_boilerplate_sql() -> str:
     """
 
 
+# --- WFQ fetch-slot schedule + consistent-hash shard placement ----------
+#
+# wfq_schedule: the budgeted batch interleaved by weighted fair queueing
+# (operators/wfq.py) — per-host weights derived from md5(host) so both
+# engines agree; vft integer-exact under the divisibility contract.
+# shard_rebalance: consistent-hash placement at 4 vs 5 shards
+# (operators/ring.py) — the oracle derives the vnode positions from md5
+# IN-ENGINE (generate-series + md5 + correlated successor subquery), so
+# the ring construction itself is cross-checked, not restated.
+
+_WFQ_SHARDS = 4
+_WFQ_REPLICAS = 16
+_REBALANCE_MOD = 199
+
+_VNODES_SQL = """
+      SELECT s.s AS shard,
+             CAST(('0x' || substring(md5('shard:' || s.s || ':rep:' || r.r),
+                   1, 8)) AS BIGINT) AS pos
+      FROM range({n}) s(s), range({v}) r(r)
+"""
+
+
+def q_wfq_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WFQ interleave of the canonicalized frontier: per-host priority
+    order (priority DESC, url ASC), host weight = md5(host) % 8 + 1,
+    slots numbered per consistent-hash fetcher shard."""
+    from job_crawler_spark.operators.wfq import wfq_schedule
+
+    f = frontier_df(spark, sf_dir).select(
+        canonicalize_url_col(F.col("url")).alias("url_canon"),
+        host_col(F.col("url")).alias("host"),
+        "priority",
+    )
+    weight = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+        % 8
+        + 1
+    )
+    sched = wfq_schedule(
+        f.withColumn("weight", weight),
+        order=[F.col("priority").desc(), F.col("url_canon").asc()],
+        weight=F.col("weight"),
+        n_shards=_WFQ_SHARDS,
+        n_replicas=_WFQ_REPLICAS,
+    )
+    return sched.select(
+        "shard", "slot", "host", "url_canon", "weight", "host_rank", "vft"
+    ).orderBy("shard", "slot")
+
+
+def _wfq_sql() -> str:
+    vn = _VNODES_SQL.format(n=_WFQ_SHARDS, v=_WFQ_REPLICAS)
+    return f"""
+    WITH f AS ({FRONTIER_SQL}),
+    c AS (SELECT {_CANON_SQL} AS url_canon, {_HOST_SQL} AS host, priority
+          FROM f),
+    w AS (
+      SELECT *,
+             CAST(('0x' || substring(md5(host), 1, 8)) AS BIGINT) % 8 + 1
+               AS weight,
+             CAST(('0x' || substring(md5(host), 1, 8)) AS BIGINT) AS hpos
+      FROM c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                ORDER BY priority DESC, url_canon ASC) AS host_rank
+      FROM w
+    ),
+    vn AS ({vn}),
+    keyed AS (
+      SELECT *,
+             host_rank * (840 // weight) AS vft,
+             COALESCE(
+               (SELECT shard FROM vn WHERE vn.pos >= ranked.hpos
+                ORDER BY pos, shard LIMIT 1),
+               (SELECT shard FROM vn ORDER BY pos, shard LIMIT 1)) AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY vft ASC, host ASC, host_rank ASC) AS slot,
+           host, url_canon, weight, host_rank, vft
+    FROM keyed ORDER BY shard, slot
+"""
+
+
+def rebalance_hosts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A wide deterministic host universe for the placement gate:
+    h{orderkey % 199}.example.com, distinct."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host = F.concat(
+        F.lit("h"),
+        (F.col("o_orderkey") % _REBALANCE_MOD),
+        F.lit(".example.com"),
+    )
+    return orders.select(host.alias("host")).distinct()
+
+
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash placement at 4 vs 5 shards and who must move —
+    the elastic-scaling audit (operators/ring.py)."""
+    from job_crawler_spark.operators.ring import ring_rebalance_plan
+
+    hosts = rebalance_hosts_df(spark, sf_dir)
+    return ring_rebalance_plan(
+        hosts, n_shards=_WFQ_SHARDS, n_replicas=_WFQ_REPLICAS
+    ).orderBy("host")
+
+
+def _shard_rebalance_sql() -> str:
+    va = _VNODES_SQL.format(n=_WFQ_SHARDS, v=_WFQ_REPLICAS)
+    vb = _VNODES_SQL.format(n=_WFQ_SHARDS + 1, v=_WFQ_REPLICAS)
+    return f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(o_orderkey % {_REBALANCE_MOD} AS VARCHAR)
+             || '.example.com' AS host
+      FROM orders
+    ),
+    p AS (
+      SELECT host,
+             CAST(('0x' || substring(md5(host), 1, 8)) AS BIGINT) AS ring_pos
+      FROM hosts
+    ),
+    va AS ({va}),
+    vb AS ({vb}),
+    assigned AS (
+      SELECT host, ring_pos,
+             COALESCE(
+               (SELECT shard FROM va WHERE va.pos >= p.ring_pos
+                ORDER BY pos, shard LIMIT 1),
+               (SELECT shard FROM va ORDER BY pos, shard LIMIT 1)) AS shard_a,
+             COALESCE(
+               (SELECT shard FROM vb WHERE vb.pos >= p.ring_pos
+                ORDER BY pos, shard LIMIT 1),
+               (SELECT shard FROM vb ORDER BY pos, shard LIMIT 1)) AS shard_b
+      FROM p
+    )
+    SELECT host, ring_pos, shard_a, shard_b, shard_a <> shard_b AS moved
+    FROM assigned ORDER BY host
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1312,6 +1454,8 @@ QUERIES = {
     "dust_rules": q_dust_rules,
     "anchor_profile": q_anchor_profile,
     "host_boilerplate": q_host_boilerplate,
+    "wfq_schedule": q_wfq_schedule,
+    "shard_rebalance": q_shard_rebalance,
 }
 
 ORACLES = {
@@ -1329,4 +1473,6 @@ ORACLES = {
     "dust_rules": _dust_rules_sql(),
     "anchor_profile": _anchor_profile_sql(),
     "host_boilerplate": _host_boilerplate_sql(),
+    "wfq_schedule": _wfq_sql(),
+    "shard_rebalance": _shard_rebalance_sql(),
 }
