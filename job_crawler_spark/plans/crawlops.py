@@ -1439,6 +1439,89 @@ def _shard_rebalance_sql() -> str:
 """
 
 
+# --- Max-min fair crawl-budget allocation (water-filling) ---------------
+#
+# host_budget_waterfill: the round's global fetch budget divided across
+# hosts by progressive filling (operators/fairshare.py). Demands come
+# from per-customer order counts (natural TPC-H variation: ties, skew,
+# saturation boundaries at both gate scales); budget = total orders DIV 3
+# so the waterline binds mid-distribution. The DuckDB oracle re-derives
+# the waterline from the demand histogram independently (same segment
+# algebra, its own window engine).
+
+
+def q_host_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair allocation of a global fetch budget across hosts:
+    alloc = min(demand, t*) with t* the largest waterline the budget
+    covers; integer-exact, spare reported (rolls to the next round)."""
+    from job_crawler_spark.operators.fairshare import waterfill_alloc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    demands = orders.groupBy(
+        F.concat(
+            F.lit("c"), F.col("o_custkey"), F.lit(".example.com")
+        ).alias("host")
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    budget = orders.count() // 3  # control-plane scalar, 1-row action
+    out = waterfill_alloc(demands, budget=int(budget))
+    result = out.select(
+        "host", "demand", "alloc", "saturated", "waterline", "spare"
+    ).orderBy("host")
+    result._graft_checkpoints = getattr(out, "_graft_checkpoints", [])
+    return result
+
+
+def _host_budget_waterfill_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) || '.example.com' AS host,
+             COUNT(*) AS demand
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT COUNT(*) // 3 AS budget FROM orders),
+    hist AS (
+      SELECT demand AS v, COUNT(*) AS cnt, SUM(demand) AS sumv
+      FROM d GROUP BY demand
+    ),
+    seg AS (
+      SELECT v,
+             CAST(COALESCE(SUM(sumv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s_prev,
+             COALESCE(LAG(v) OVER (ORDER BY v), 0) AS v_prev,
+             CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS m_prev
+      FROM hist
+    ),
+    cand AS (
+      SELECT CASE WHEN (SELECT budget FROM b) >= s_prev + v_prev * m_prev
+             THEN LEAST(((SELECT budget FROM b) - s_prev) // m_prev, v - 1)
+             END AS c
+      FROM seg
+    ),
+    tot AS (SELECT CAST(COALESCE(SUM(sumv), 0) AS BIGINT) AS s_total,
+                   COALESCE(MAX(v), 0) AS v_max FROM hist),
+    t AS (
+      SELECT CAST(CASE WHEN (SELECT budget FROM b) >= s_total THEN v_max
+             ELSE GREATEST(COALESCE((SELECT MAX(c) FROM cand), 0), 0)
+             END AS BIGINT) AS t_star
+      FROM tot
+    ),
+    u AS (
+      SELECT CAST(COALESCE(SUM(LEAST(v, (SELECT t_star FROM t)) * cnt),
+             0) AS BIGINT) AS used
+      FROM hist
+    )
+    SELECT d.host, d.demand,
+           CAST(LEAST(d.demand, t.t_star) AS BIGINT) AS alloc,
+           d.demand <= t.t_star AS saturated,
+           t.t_star AS waterline,
+           CAST((SELECT budget FROM b) - u.used AS BIGINT) AS spare
+    FROM d, t, u ORDER BY host
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1456,6 +1539,7 @@ QUERIES = {
     "host_boilerplate": q_host_boilerplate,
     "wfq_schedule": q_wfq_schedule,
     "shard_rebalance": q_shard_rebalance,
+    "host_budget_waterfill": q_host_budget_waterfill,
 }
 
 ORACLES = {
@@ -1475,4 +1559,5 @@ ORACLES = {
     "host_boilerplate": _host_boilerplate_sql(),
     "wfq_schedule": _wfq_sql(),
     "shard_rebalance": _shard_rebalance_sql(),
+    "host_budget_waterfill": _host_budget_waterfill_sql(),
 }
