@@ -132,6 +132,8 @@ EXTRA = [
     "event_volume_anomalies",
     "wfq_schedule",
     "shard_rebalance",
+    "host_budget_waterfill",
+    "registrable_domains",
 ]
 
 

@@ -1522,6 +1522,117 @@ def _host_budget_waterfill_sql() -> str:
 """
 
 
+# --- Public-suffix (PSL) registrable-domain classification --------------
+#
+# registrable_domains: the eTLD+1 grouping key a web-scale crawler's
+# politeness/sharding should use instead of raw host
+# (operators/psl.py — exceptions, wildcards, longest-match, default
+# rule all exercised by the derived host shapes). The DuckDB oracle
+# re-implements the published algorithm independently over the same
+# rule literals.
+
+
+def _psl_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host mix derived from customer: every rule type in
+    operators/psl.DEFAULT_RULES is hit (plain TLD, 2/3-label suffixes,
+    private-style github.io, wildcard *.ck, exception !www.ck, and the
+    unlisted .test TLD for the implicit default rule)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = F.lower(F.col("c_mktsegment"))
+    k = F.col("c_custkey").cast("string")
+    host = (
+        F.when(F.col("c_custkey") % 9 == 0, F.concat(F.lit("shop"), k, F.lit(".example.com")))
+        .when(F.col("c_custkey") % 9 == 1, F.concat(F.lit("jobs."), seg, k, F.lit(".co.uk")))
+        .when(F.col("c_custkey") % 9 == 2, F.concat(seg, k, F.lit(".github.io")))
+        .when(F.col("c_custkey") % 9 == 3, F.concat(F.lit("lab"), k, F.lit("."), seg, F.lit(".ac.jp")))
+        .when(F.col("c_custkey") % 9 == 4, F.concat(seg, k, F.lit(".jp")))
+        .when(F.col("c_custkey") % 9 == 5, F.concat(F.lit("portal."), seg, k, F.lit(".uk")))
+        .when(F.col("c_custkey") % 9 == 6, F.concat(F.lit("x.y"), k, F.lit(".bar.ck")))
+        .when(F.col("c_custkey") % 9 == 7, F.lit("www.ck"))
+        .otherwise(F.concat(F.lit("internal"), k, F.lit(".test")))
+    )
+    return customer.select(host.alias("host"))
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-list classification per distinct host: matched rule
+    (NULL = implicit default '*'), public suffix, registrable domain
+    (eTLD+1; NULL when the host IS a public suffix)."""
+    from job_crawler_spark.operators.psl import registrable_domains
+
+    return registrable_domains(_psl_hosts(spark, sf_dir)).orderBy("host")
+
+
+_PSL_HOSTS_SQL = """
+  SELECT DISTINCT CASE CAST(c_custkey % 9 AS INTEGER)
+    WHEN 0 THEN 'shop' || CAST(c_custkey AS VARCHAR) || '.example.com'
+    WHEN 1 THEN 'jobs.' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '.co.uk'
+    WHEN 2 THEN lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'lab' || CAST(c_custkey AS VARCHAR) || '.' || lower(c_mktsegment) || '.ac.jp'
+    WHEN 4 THEN lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '.jp'
+    WHEN 5 THEN 'portal.' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '.uk'
+    WHEN 6 THEN 'x.y' || CAST(c_custkey AS VARCHAR) || '.bar.ck'
+    WHEN 7 THEN 'www.ck'
+    ELSE 'internal' || CAST(c_custkey AS VARCHAR) || '.test'
+  END AS host
+  FROM customer
+"""
+
+
+def _registrable_domains_sql() -> str:
+    return f"""
+    WITH hosts AS ({_PSL_HOSTS_SQL}),
+    rules(rule, key, is_exception) AS (VALUES
+      ('com','com',FALSE), ('org','org',FALSE), ('net','net',FALSE),
+      ('io','io',FALSE), ('jp','jp',FALSE), ('ac.jp','ac.jp',FALSE),
+      ('uk','uk',FALSE), ('co.uk','co.uk',FALSE), ('org.uk','org.uk',FALSE),
+      ('github.io','github.io',FALSE), ('*.ck','*.ck',FALSE),
+      ('!www.ck','www.ck',TRUE)
+    ),
+    base AS (
+      SELECT host, string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS n
+      FROM hosts
+    ),
+    cand AS (
+      SELECT host, n, k,
+             array_to_string(labels[n-k+1:n], '.') AS suffix,
+             CASE WHEN k >= 2
+                  THEN array_to_string(labels[n-k+2:n], '.') END AS tail
+      FROM base, unnest(generate_series(1, n)) AS t(k)
+    ),
+    forms AS (
+      SELECT host, k, suffix, tail, suffix AS form, FALSE AS is_wild
+      FROM cand
+      UNION ALL
+      SELECT host, k, suffix, tail, '*.' || tail, TRUE
+      FROM cand WHERE tail IS NOT NULL
+    ),
+    m AS (
+      SELECT f.host, f.k, f.suffix, f.tail, r.rule, r.is_exception
+      FROM forms f JOIN rules r ON f.form = r.key
+      WHERE NOT (r.is_exception AND f.is_wild)
+    ),
+    w AS (
+      SELECT host, rule AS matched_rule,
+             CASE WHEN is_exception THEN tail ELSE suffix END AS ps,
+             CASE WHEN is_exception THEN k - 1 ELSE k END AS psn,
+             ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY is_exception DESC, k DESC, rule) AS rn
+      FROM m
+    )
+    SELECT b.host, w.matched_rule,
+           COALESCE(w.ps, b.labels[b.n]) AS public_suffix,
+           CASE WHEN b.n > COALESCE(w.psn, 1)
+                THEN array_to_string(
+                       b.labels[b.n - COALESCE(w.psn, 1):b.n], '.')
+           END AS registrable_domain
+    FROM base b
+    LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (host)
+    ORDER BY host
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1540,6 +1651,7 @@ QUERIES = {
     "wfq_schedule": q_wfq_schedule,
     "shard_rebalance": q_shard_rebalance,
     "host_budget_waterfill": q_host_budget_waterfill,
+    "registrable_domains": q_registrable_domains,
 }
 
 ORACLES = {
@@ -1560,4 +1672,5 @@ ORACLES = {
     "wfq_schedule": _wfq_sql(),
     "shard_rebalance": _shard_rebalance_sql(),
     "host_budget_waterfill": _host_budget_waterfill_sql(),
+    "registrable_domains": _registrable_domains_sql(),
 }
