@@ -1,0 +1,140 @@
+"""Fixed-iteration HITS (hubs & authorities) over an edge DataFrame.
+
+Kleinberg's link-analysis fixed point (JACM 1999): authority(v) sums the
+hub scores of pages linking TO v; hub(u) sums the authority scores of
+pages u links to; each half-step is L1-normalized. It is the second
+classic web-crawl ranking signal next to PageRank
+(``operators/pagerank.py``) and answers a different question — PageRank
+is a global random-surfer stationary distribution, HITS is the mutually
+reinforcing hub/authority decomposition a focused crawler uses to pick
+*directory-like* hub pages whose out-links are worth expanding first.
+The reference crawler scores URLs by depth/recency only (``main.py``
+has no link-analysis counterpart; public-paper provenance).
+
+Scale shape — the same Pregel message-combine discipline as
+``pagerank()``, but the two half-steps pull in opposite directions, so
+the corpus-sized edge frame is cached TWICE, once partitioned+sorted by
+``src`` (consumed by the authority update, which joins hubs on ``src``
+and combines on ``dst``) and once by ``dst`` (consumed by the hub
+update, which joins authorities on ``dst`` and combines on ``src``) —
+the standard store-both-orientations trade of one extra
+corpus-sized cache for zero per-iteration corpus exchanges. Per
+iteration the moving data is the node-sized score frame onto each edge
+partitioning plus ONE map-side-combined aggregate shuffle per half-step;
+the L1 normalizers are 1-row aggregates broadcast back (never a driver
+collect in the data path). Score lineage is localCheckpointed every
+``checkpoint_every`` iterations with the superseded checkpoint released,
+so deep iteration counts neither rebuild the whole chain per action nor
+leak block storage. Nothing is node-count-bounded on the driver except
+the scalar node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from job_crawler_spark.operators.checkpoints import (
+    release,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Score every node of ``edges`` (directed ``src -> dst`` pairs;
+    parallel edges count once per occurrence) with ``iterations`` HITS
+    steps. Each step computes ``authority = sum of in-neighbour hubs``
+    then ``hub = sum of out-neighbour authorities``, L1-normalizing
+    after each half-step (``sum(authority) == sum(hub) == 1`` whenever
+    the graph has at least one edge).
+
+    Hubs start uniform at ``1/n``. Returns ``(node, hub, authority)``
+    with the node count attached as ``._graft_n_nodes`` and tracked
+    checkpoint frames as ``._graft_checkpoints`` — call
+    :func:`~job_crawler_spark.operators.checkpoints.release_checkpoints`
+    after consuming the result.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # both orientations cached once; each half-step's contribution join
+    # reuses its side's partitioning/ordering with no corpus exchange
+    e_by_src = tracked_persist(
+        e.repartition("src").sortWithinPartitions("src")
+    )
+    e_by_dst = tracked_persist(
+        e.repartition("dst").sortWithinPartitions("dst")
+    )
+    nodes_ck = tracked_persist(
+        nodes.repartition("node").sortWithinPartitions("node")
+    )
+    n = nodes_ck.count()
+    hubs = nodes_ck.select("node", F.lit(1.0 / n).alias("hub"))
+
+    ckpts = [e_by_src, e_by_dst, nodes_ck]
+    prev_ck: DataFrame | None = None
+    auths = nodes_ck.select("node", F.lit(0.0).alias("authority"))
+    for i in range(iterations):
+        a_raw = (
+            e_by_src.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("v"))
+            .withColumnRenamed("dst", "node")
+        )
+        a_tot = a_raw.agg(F.sum("v").alias("atot"))
+        auths = (
+            nodes_ck.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("atot")
+                ).alias("authority"),
+            )
+        )
+        h_raw = (
+            e_by_dst.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("v"))
+            .withColumnRenamed("src", "node")
+        )
+        h_tot = h_raw.agg(F.sum("v").alias("htot"))
+        hubs = (
+            nodes_ck.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("v"), F.lit(0.0)) / F.col("htot")).alias(
+                    "hub"
+                ),
+            )
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            new_ck = tracked_local_checkpoint(hubs.join(auths, "node"))
+            if prev_ck is not None:
+                release(prev_ck)
+            prev_ck = new_ck
+            hubs = new_ck.select("node", "hub")
+            auths = new_ck.select("node", "authority")
+
+    out = hubs.join(auths, "node")
+    if prev_ck is not None:
+        ckpts.append(prev_ck)
+    out._graft_n_nodes = n
+    out._graft_checkpoints = ckpts
+    return out

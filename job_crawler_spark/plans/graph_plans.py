@@ -310,6 +310,109 @@ def _graph_triangle_sql() -> str:
     """
 
 
+HITS_ITERS = 3
+
+
+def q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over the
+    DIRECTED supplier -> part trade graph (one edge per distinct
+    (supplier, part) pair in ``lineitem``): suppliers act as hubs
+    ("stocks many authoritative parts"), parts as authorities ("stocked
+    by strong hub suppliers") — the mutually-reinforcing decomposition a
+    focused crawler runs on the host graph to pick directory-like hub
+    pages. A distinct fixed point from PageRank (``graph_authority_rank``
+    — random-surfer stationary distribution, damping, dangling mass):
+    HITS has two coupled score vectors and per-half-step L1
+    normalization, no teleport.
+
+    Output is the size-normalized ``hub_score = hub * n_nodes`` /
+    ``auth_score = authority * n_nodes`` per node (uniform = 1.0).
+
+    Scale shape (see operators/hits.py): both edge orientations cached
+    once; per iteration only the node-sized score frames move plus one
+    map-side-combined aggregate per half-step; L1 normalizers are 1-row
+    broadcast aggregates. The oracle unrolls the identical three
+    iterations as CTE stages with scalar-subquery normalizers; the only
+    cross-engine divergence is summation order (ulps), absorbed by the
+    6-digit stable round.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.hits import hits
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = e0.select(
+        F.concat(F.lit("S"), F.col("s").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("p").cast("string")).alias("dst"),
+    )
+    scores = hits(edges, iterations=HITS_ITERS)
+    nn = F.lit(float(scores._graft_n_nodes))
+    out = scores.select(
+        "node",
+        stable_round(F.col("hub") * nn, 6).alias("hub_score"),
+        stable_round(F.col("authority") * nn, 6).alias("auth_score"),
+    ).orderBy("node")
+    out._graft_checkpoints = scores._graft_checkpoints
+    return out
+
+
+def _graph_hits_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    stages = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, HITS_ITERS + 1):
+        stages.append(
+            f"""
+        a{i}raw AS (
+          SELECT e.dst AS node, SUM(h.hub) AS v
+          FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+        ),
+        a{i} AS (
+          SELECT n.node,
+                 COALESCE(r.v, 0.0) / (SELECT SUM(v) FROM a{i}raw)
+                   AS authority
+          FROM nodes n LEFT JOIN a{i}raw r ON r.node = n.node
+        ),
+        h{i}raw AS (
+          SELECT e.src AS node, SUM(a.authority) AS v
+          FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+        ),
+        h{i} AS (
+          SELECT n.node,
+                 COALESCE(r.v, 0.0) / (SELECT SUM(v) FROM h{i}raw) AS hub
+          FROM nodes n LEFT JOIN h{i}raw r ON r.node = n.node
+        )"""
+        )
+        prev_h = f"h{i}"
+        last_a = f"a{i}"
+    chain = ",".join(stages)
+    hub = stable_round_sql("h.hub * (SELECT nn FROM cnt)", 6)
+    auth = stable_round_sql("a.authority * (SELECT nn FROM cnt)", 6)
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        edges AS (
+          SELECT 'S' || CAST(s AS VARCHAR) AS src,
+                 'P' || CAST(p AS VARCHAR) AS dst FROM e0
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        cnt AS (SELECT COUNT(*) AS nn FROM nodes),
+        h0 AS (
+          SELECT node, 1.0 / (SELECT nn FROM cnt) AS hub FROM nodes
+        ),{chain}
+        SELECT h.node, {hub} AS hub_score, {auth} AS auth_score
+        FROM {prev_h} h JOIN {last_a} a ON a.node = h.node
+        ORDER BY h.node
+    """
+
+
 KHOP_MAX = 3
 KHOP_SEED_MOD = 7
 
@@ -431,12 +534,14 @@ def _graph_khop_sql() -> str:
 
 QUERIES = {
     "graph_authority_rank": q_graph_authority_rank,
+    "graph_hits_scores": q_graph_hits_scores,
     "graph_triangle_coeff": q_graph_triangle_coeff,
     "graph_khop_dist": q_graph_khop_dist,
 }
 
 ORACLES = {
     "graph_authority_rank": _graph_authority_sql(),
+    "graph_hits_scores": _graph_hits_sql(),
     "graph_triangle_coeff": _graph_triangle_sql(),
     "graph_khop_dist": _graph_khop_sql(),
 }

@@ -160,10 +160,97 @@ def _bm25_sql() -> str:
     """
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index CONSTRUCTION over ``documents`` — the
+    index-build operator class (vs ``bm25_topk``, which is the ranked
+    RETRIEVAL class consuming such an index): one postings row per
+    (term, doc_id) carrying the term frequency, the document frequency,
+    and the in-document positions as a gap-encoded (delta) integer list —
+    first position absolute, each subsequent entry the gap to its
+    predecessor — the classic positional-postings compression every
+    search engine ships (Zobel & Moffat, ACM CS 2006; Lucene's
+    proximity/phrase data). The reference's LIKE-scan search
+    (``main.py:471-530``) is what an index like this replaces at scale.
+
+    Scale shape: ONE corpus scan -> token posexplode (narrow) -> ONE
+    map-side-combinable (term, doc_id) hash aggregate collecting tf and
+    the sorted position list; gap encoding is a pure JVM array transform
+    (zip_with against the 0-prepended shifted self — no per-row Python,
+    no second explode). The df column rides a term-partitioned window —
+    at 100 TB vocabulary skew (stopword terms) makes that window the hot
+    spot, so the production variant computes df as a separate two-level
+    (term-salt, term) aggregate and broadcast-joins it back; at gate
+    scale the single window keeps the plan to exactly two exchanges.
+    Output is naturally term-partitioned — exactly the layout a
+    shard-per-term index store wants to ingest.
+
+    The DuckDB oracle rebuilds the same postings from scratch with list
+    lambdas (range/list_transform gap encoding) — an independent
+    formulation of both the positional explode and the delta encoding.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    pl = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias(
+            "poss"
+        ),
+    )
+    poss = F.col("poss")
+    shifted = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(poss, 1, F.size(poss) - 1),
+    )
+    out = pl.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.zip_with(poss, shifted, lambda a, b: a - b).alias("pos_deltas"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("term"))
+        .alias("df"),
+    ).orderBy("term", "doc_id")
+    return out
+
+
+def _inverted_postings_sql() -> str:
+    return r"""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, u.t AS term, u.p AS pos FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) + 1),
+                          i -> {'t': tk[i], 'p': i - 1})) AS u
+            FROM tk
+          ) WHERE u.t <> ''
+        ),
+        pl AS (
+          SELECT term, doc_id, COUNT(*) AS tf, list_sort(list(pos)) AS poss
+          FROM tok GROUP BY term, doc_id
+        )
+        SELECT term, doc_id, tf,
+               list_transform(range(1, len(poss) + 1),
+                 i -> CASE WHEN i = 1 THEN poss[1]
+                      ELSE poss[i] - poss[i - 1] END) AS pos_deltas,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM pl ORDER BY term, doc_id
+    """
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "inverted_postings": q_inverted_postings,
 }
 
 ORACLES = {
     "bm25_topk": _bm25_sql(),
+    "inverted_postings": _inverted_postings_sql(),
 }

@@ -625,3 +625,53 @@ def test_gram_matrix_single_mapside_aggregate(spark, queries):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "ReadSchema: struct<embedding:array<float>>" in plan, plan
+
+
+def test_hits_cached_sides_join_without_exchange(spark, queries):
+    """HITS scale contract (mirror of the PageRank pin): both cached edge
+    orientations and the cached node frame enter the per-iteration merge
+    joins DIRECTLY — no Exchange, no Sort above any InMemoryTableScan;
+    the L1 normalizers ride 1-row BroadcastNestedLoopJoins (never a
+    CartesianProduct); no Python stage. Broadcast is disabled so AQE
+    cannot hide a shuffled join behind a broadcast at gate scale."""
+    import re
+
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["graph_hits_scores"](spark, SF_DIR)
+        plan = explain_str(df)
+    finally:
+        release_checkpoints(df)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = plan.split("\n\n")[0]
+    for m in re.finditer(r"(?:Exchange|Sort) \(\d+\)\n(.*)", tree):
+        assert "InMemoryTableScan" not in m.group(1), plan
+    # the score-side joins are merge joins consuming the cached
+    # orientations bare or through the join-key null filter
+    assert re.search(
+        r"SortMergeJoin (?:Inner|LeftOuter) \(\d+\)\n[ :]*(?::-|\+-) "
+        r"(?:Filter \(\d+\)\n[ :]*\+- )?InMemoryTableScan",
+        tree,
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inverted_postings_two_exchanges_no_python(spark, queries):
+    """Index-construction scale contract: ONE corpus scan feeds ONE
+    map-side-combinable (term, doc_id) aggregate (partial_count +
+    partial collect of positions), the df window rides the term
+    partitioning, and the gap encoding is a pure JVM array transform —
+    exactly two hash exchanges (aggregate + window; the final
+    presentation sort is a range exchange), zero Python stages."""
+    plan = explain_str(queries["inverted_postings"](spark, SF_DIR))
+    # one "Location:" detail line per parquet scan in formatted mode
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 2, plan
+    assert "partial_count" in plan, plan
+    assert "zip_with" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
