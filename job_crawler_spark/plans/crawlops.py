@@ -1633,6 +1633,108 @@ def _registrable_domains_sql() -> str:
 """
 
 
+# shard_fixity_digest: content-integrity audit for a sharded corpus —
+# the anti-entropy primitive replica sync and backup verification run.
+
+FIXITY_SHARDS = 16
+
+
+def fixity_shard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed per-shard digest frame: leaf digests (first 60
+    bits of ``md5(doc_id ':' text)``) folded per md5-uniform shard with a
+    map-side-combinable BIT_XOR plus an exact count. Factored out so the
+    plan pin can assert the pre-checkpoint shape (one scan, one hash
+    exchange, partial_bit_xor) on the exact pipeline the query runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_s = F.col("doc_id").cast("string")
+    leaf = docs.select(
+        (
+            F.conv(F.substring(F.md5(doc_s), 1, 8), 16, 10).cast("long")
+            % FIXITY_SHARDS
+        ).alias("shard_id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(doc_s, F.lit(":"), F.col("text"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    return leaf.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(d)").alias("shard_digest"),
+    )
+
+
+def q_shard_fixity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard + corpus-root content digests over ``documents`` — the
+    integrity-audit operator class (Merkle-style anti-entropy, as in
+    Dynamo/Cassandra replica repair): two stores compare root digests,
+    and on mismatch recurse into the per-shard digests to localize the
+    divergent shard — O(log) traffic instead of shipping the corpus.
+    Deepens the reference's row-count-only health check
+    (``table_health``, ref ``main.py`` check_table_counts) to content
+    equality.
+
+    Digest design for the 100 TB shape: the leaf digest is the first 60
+    bits of ``md5(doc_id ':' text)`` (content-addressed, engine-portable
+    — no rand(), no engine-specific hash); the shard digest is the
+    BIT_XOR fold of its leaf digests. XOR is commutative/associative, so
+    the aggregate is map-side combinable with CONSTANT per-group state —
+    no sorted concat buffers (the string-concat Merkle variant holds
+    O(shard) state per group) — and INCREMENTALLY maintainable: updating
+    one document is two XORs against the old and new leaf digests, no
+    shard rescan. Shard placement is the same md5-uniform hash the shard
+    order/rebalance queries use, independent of the content digest. Plan:
+    ONE scan -> one (shard) hash aggregate -> 1-row root fold broadcast
+    back; nothing is corpus-sized past the first aggregate.
+
+    The DuckDB oracle recomputes leaf/shard/root digests independently
+    (hex-literal cast instead of conv; scalar-subquery root) — integer
+    arithmetic end-to-end, so the match is exact, not rounded.
+    """
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    sh = fixity_shard_frame(spark, sf_dir)
+    # the shard frame feeds BOTH the output and the root fold; Catalyst
+    # does not CSE across crossJoin sides, so without materializing it the
+    # corpus scan + shard aggregate run TWICE (observed). 16 rows:
+    # checkpoint is free, and the visible plan carries zero parquet scans.
+    sh = tracked_local_checkpoint(sh)
+    root = sh.agg(F.expr("bit_xor(shard_digest)").alias("root_digest"))
+    out = (
+        sh.crossJoin(F.broadcast(root))
+        .select("shard_id", "n_docs", "shard_digest", "root_digest")
+        .orderBy("shard_id")
+    )
+    out._graft_checkpoints = [sh]
+    return out
+
+
+def _shard_fixity_sql() -> str:
+    return f"""
+        WITH leaf AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % {FIXITY_SHARDS} AS shard_id,
+                 CAST(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+                      AS BIGINT) AS d
+          FROM documents
+        ),
+        sh AS (
+          SELECT shard_id, COUNT(*) AS n_docs, bit_xor(d) AS shard_digest
+          FROM leaf GROUP BY shard_id
+        )
+        SELECT shard_id, n_docs, shard_digest,
+               (SELECT bit_xor(shard_digest) FROM sh) AS root_digest
+        FROM sh ORDER BY shard_id
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1652,6 +1754,7 @@ QUERIES = {
     "shard_rebalance": q_shard_rebalance,
     "host_budget_waterfill": q_host_budget_waterfill,
     "registrable_domains": q_registrable_domains,
+    "shard_fixity_digest": q_shard_fixity_digest,
 }
 
 ORACLES = {
@@ -1673,4 +1776,5 @@ ORACLES = {
     "shard_rebalance": _shard_rebalance_sql(),
     "host_budget_waterfill": _host_budget_waterfill_sql(),
     "registrable_domains": _registrable_domains_sql(),
+    "shard_fixity_digest": _shard_fixity_sql(),
 }

@@ -77,7 +77,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "fuzzy_name_pairs", "bm25_topk",
                  "event_affinity_rules", "graph_triangle_coeff",
                  "graph_khop_dist", "redirect_resolve", "dust_rules",
-                 "host_boilerplate"):
+                 "host_boilerplate", "graph_hits_scores",
+                 "shard_fixity_digest"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

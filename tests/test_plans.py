@@ -675,3 +675,30 @@ def test_inverted_postings_two_exchanges_no_python(spark, queries):
     assert "zip_with" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_fixity_digest_scan_once_mapside_xor(spark, queries):
+    """Integrity-audit scale contract: the corpus scan + shard aggregate
+    run ONCE behind the localCheckpoint (zero parquet scans in the
+    visible plan — Catalyst does not CSE across the root-fold crossJoin's
+    sides, so the un-checkpointed form scanned twice); the 1-row root
+    fold rides a broadcast nested-loop join (never a cartesian); no
+    Python stage. The map-side partial_bit_xor fold is pinned on the
+    checkpointed frame's own plan."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+    from job_crawler_spark.plans.crawlops import fixity_shard_frame
+
+    df = queries["shard_fixity_digest"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert plan.count("Location:") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the pre-checkpoint pipeline (the exact frame the query materializes):
+    # one scan, one hash exchange, partial bit_xor combine
+    inner = explain_str(fixity_shard_frame(spark, SF_DIR))
+    assert "partial_bit_xor" in inner, inner
+    assert inner.count("Location:") == 1, inner
+    assert n_hash_exchanges(inner) == 1, inner
