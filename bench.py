@@ -134,6 +134,9 @@ EXTRA = [
     "shard_rebalance",
     "host_budget_waterfill",
     "registrable_domains",
+    "graph_hits_scores",
+    "inverted_postings",
+    "shard_fixity_digest",
 ]
 
 
