@@ -180,6 +180,127 @@ Q_TOKEN_COUNTS_SQL = f"""
 """
 
 
+# --- overlapping token-window chunking (RAG / embedding prep) -----------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_OVERLAP = 8  # tokens shared with the previous chunk
+
+
+def chunk_documents(
+    docs: DataFrame, *, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split each document into overlapping ``size``-token windows with
+    stride ``size - overlap`` — the chunking primitive every
+    RAG/embedding-index pipeline runs before embedding (LangChain/
+    LlamaIndex-style sliding windows, re-expressed as one narrow Spark
+    stage). No reference counterpart (ref main.py stores whole
+    descriptions); this is a first-class LLM-pipeline op like
+    doc_pack_stats.
+
+    Contract (integer-exact, engine-portable):
+
+    - tokenization = the corpus-normalized whitespace split every textops
+      operator uses (``lower(trim(text))`` split on ``\\s+``); documents
+      whose trimmed text is empty produce no chunks;
+    - ``n_chunks = 1`` if ``n_tok <= size`` else
+      ``1 + ceil((n_tok - size) / stride)`` — the last chunk covers the
+      tail and a chunk is never a pure suffix of its predecessor;
+    - chunk ``i`` covers tokens ``[i*stride, min(i*stride + size, n_tok))``
+      (0-based, end-exclusive), emitted as ``tok_start``/``tok_end`` so a
+      downstream join can recover provenance exactly;
+    - ``chunk_text`` re-joins the window with single spaces (offsets are
+      token offsets by design: whitespace-run information is already
+      normalized away by the shared tokenizer).
+
+    Scale shape: ONE corpus scan -> narrow explode; fan-out per row is
+    ``~n_tok/stride`` (bounded by the corpus token count, not a join), no
+    shuffle anywhere in the operator itself — at 100 TB this is a pure
+    map stage that pipelines into the downstream embed/write without a
+    boundary. All JVM (split/sequence/explode/slice/array_join); zero
+    Python.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    base = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        _tokens_col().alias("toks"),
+        F.size(_tokens_col()).alias("n_tok"),
+    )
+    # integer-exact ceil division (DIV), matching the oracle bit-for-bit
+    n_chunks = (
+        F.when(F.col("n_tok") <= size, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"(n_tok - {size} + {stride - 1}) DIV {stride}")
+        )
+        .cast("int")
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    end = F.least(start + size, F.col("n_tok")).cast("int")
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            "n_tok",
+            F.explode(
+                F.sequence(F.lit(0), n_chunks - F.lit(1))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.alias("tok_start"),
+            end.alias("tok_end"),
+            (end - start).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), start + F.lit(1), F.lit(size)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated chunking over ``documents`` at the module defaults."""
+    return chunk_documents(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _doc_chunks_sql(
+    size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = size - overlap
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             CASE WHEN n_tok <= {size} THEN 1
+                  ELSE 1 + (n_tok - {size} + {stride - 1}) // {stride}
+             END AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, n_tok, CAST(g.i AS INTEGER) AS chunk_id
+      FROM c, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {stride} AS INTEGER) AS tok_start,
+           CAST(LEAST(chunk_id * {stride} + {size}, n_tok)
+                AS INTEGER) AS tok_end,
+           CAST(LEAST(chunk_id * {stride} + {size}, n_tok)
+                - chunk_id * {stride} AS INTEGER) AS n_chunk_tokens,
+           array_to_string(
+             toks[chunk_id * {stride} + 1
+                  : LEAST(chunk_id * {stride} + {size}, n_tok)],
+             ' ') AS chunk_text
+    FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style salient terms: per-doc top-3 by tf * (N/df).
 
@@ -2407,6 +2528,7 @@ QUERIES = {
     "doc_tech_stack": q_doc_tech_stack,
     "doc_classification": q_doc_classification,
     "token_counts": q_token_counts,
+    "doc_chunks": q_doc_chunks,
     "doc_length_ranks": q_doc_length_ranks,
     "doc_shard_order": q_doc_shard_order,
     "quality_scores": q_quality_scores,
@@ -2444,6 +2566,7 @@ ORACLES = {
     "doc_tech_stack": Q_DOC_TECH_STACK_SQL,
     "doc_classification": _classification_sql(),
     "token_counts": Q_TOKEN_COUNTS_SQL,
+    "doc_chunks": _doc_chunks_sql(),
     "quality_scores": _quality_scores_sql(),
     "lang_guess": _lang_guess_sql(),
     "fingerprints": Q_FINGERPRINTS_SQL,
