@@ -160,7 +160,9 @@ def _bm25_sql() -> str:
     """
 
 
-def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_inverted_postings(
+    spark: SparkSession, sf_dir: str, *, df_via_window: bool = True
+) -> DataFrame:
     """Positional inverted-index CONSTRUCTION over ``documents`` — the
     index-build operator class (vs ``bm25_topk``, which is the ranked
     RETRIEVAL class consuming such an index): one postings row per
@@ -178,11 +180,16 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with against the 0-prepended shifted self — no per-row Python,
     no second explode). The df column rides a term-partitioned window —
     at 100 TB vocabulary skew (stopword terms) makes that window the hot
-    spot, so the production variant computes df as a separate two-level
-    (term-salt, term) aggregate and broadcast-joins it back; at gate
-    scale the single window keeps the plan to exactly two exchanges.
-    Output is naturally term-partitioned — exactly the layout a
-    shard-per-term index store wants to ingest.
+    spot (a window ships EVERY posting of a hot term to one partition),
+    so ``df_via_window=False`` computes df as a hash aggregate — whose
+    map-side partial combine moves one partial row per (task, term), the
+    aggregate-algebra fix that makes salting unnecessary for counts —
+    and broadcast-joins the vocab-sized result back (implemented below;
+    bit-equal output and plan pinned window-free in
+    tests/test_plans.py). At gate scale the single window keeps the
+    gated plan to exactly two exchanges. Output is naturally
+    term-partitioned — exactly the layout a shard-per-term index store
+    wants to ingest.
 
     The DuckDB oracle rebuilds the same postings from scratch with list
     lambdas (range/list_transform gap encoding) — an independent
@@ -206,16 +213,37 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(0).cast("long")),
         F.slice(poss, 1, F.size(poss) - 1),
     )
-    out = pl.select(
-        "term",
-        "doc_id",
-        "tf",
-        F.zip_with(poss, shifted, lambda a, b: a - b).alias("pos_deltas"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("term"))
-        .alias("df"),
-    ).orderBy("term", "doc_id")
-    return out
+    deltas = F.zip_with(poss, shifted, lambda a, b: a - b).alias(
+        "pos_deltas"
+    )
+    if df_via_window:
+        out = pl.select(
+            "term",
+            "doc_id",
+            "tf",
+            deltas,
+            F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df"),
+        )
+    else:
+        # stopword-skew-proof df: partial-combined hash aggregate (one
+        # partial row per task per term crosses the wire, however hot the
+        # term) + vocab-sized broadcast back — no term-partitioned window.
+        # pl feeds both the df aggregate and the join; materialize it once
+        # (at scale the postings frame is written to the index store
+        # anyway — df derives from the materialized frame, not a rescan).
+        from job_crawler_spark.operators.checkpoints import (
+            tracked_local_checkpoint,
+        )
+
+        pl = tracked_local_checkpoint(pl)
+        dfreq = pl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        out = pl.join(F.broadcast(dfreq), "term").select(
+            "term", "doc_id", "tf", deltas, "df"
+        )
+        out = out.orderBy("term", "doc_id")
+        out._graft_checkpoints = [pl]
+        return out
+    return out.orderBy("term", "doc_id")
 
 
 def _inverted_postings_sql() -> str:

@@ -88,3 +88,41 @@ def test_bm25_matches_python_replica(spark, tmp_path):
     # score must exceed doc 1's "join" term share thanks to dl=1 << avgdl.
     n_terms_6 = got[(1, 6)][2]
     assert n_terms_6 == 1
+
+
+def test_postings_df_variants_bit_equal(spark):
+    """The stopword-skew production path (df via partial-combined
+    aggregate + vocab broadcast) is bit-equal to the gated window form —
+    the docstring's scale claim as code, not comment."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+    from job_crawler_spark.plans.retrieval_plans import q_inverted_postings
+
+    sf = "/root/testdata/sf0.001"
+    win = q_inverted_postings(spark, sf).collect()
+    agg_df = q_inverted_postings(spark, sf, df_via_window=False)
+    agg = agg_df.collect()
+    release_checkpoints(agg_df)
+    assert [tuple(r) for r in win] == [tuple(r) for r in agg]
+
+
+def test_postings_agg_variant_plan_window_free(spark):
+    """Variant plan pin: no term-partitioned Window anywhere (the hot-term
+    single-partition hazard is gone), df joined back by broadcast, zero
+    parquet scans in the visible plan (postings materialized once), zero
+    Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+    from job_crawler_spark.plans.retrieval_plans import q_inverted_postings
+
+    df = q_inverted_postings(
+        spark, "/root/testdata/sf0.001", df_via_window=False
+    )
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    release_checkpoints(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Location:") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
