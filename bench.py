@@ -137,6 +137,7 @@ EXTRA = [
     "graph_hits_scores",
     "inverted_postings",
     "shard_fixity_digest",
+    "doc_chunks",
 ]
 
 

@@ -80,6 +80,8 @@ def hits(
         nodes.repartition("node").sortWithinPartitions("node")
     )
     n = nodes_ck.count()
+    if n == 0:
+        raise ValueError("hits: edge frame is empty (no nodes)")
     hubs = nodes_ck.select("node", F.lit(1.0 / n).alias("hub"))
 
     ckpts = [e_by_src, e_by_dst, nodes_ck]

@@ -96,6 +96,8 @@ def pagerank(
         .sortWithinPartitions("node")
     )
     n = nodes_ck.count()
+    if n == 0:
+        raise ValueError("pagerank: edge frame is empty (no nodes)")
     base = (1.0 - damping) / n
     ranks = nodes_ck.select("node", F.lit(1.0 / n).alias("rank"))
 

@@ -125,3 +125,16 @@ def test_releases_all_checkpoint_blocks(spark):
         for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
     assert after == before, f"hits leaked blocks: {after - before}"
+
+
+def test_empty_edge_frame_clear_error(spark):
+    import pytest as _pytest
+
+    from job_crawler_spark.operators.hits import hits
+    from job_crawler_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty"):
+        hits(empty)
+    with _pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
