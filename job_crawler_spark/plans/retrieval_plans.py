@@ -213,9 +213,16 @@ def q_inverted_postings(
         F.array(F.lit(0).cast("long")),
         F.slice(poss, 1, F.size(poss) - 1),
     )
-    deltas = F.zip_with(poss, shifted, lambda a, b: a - b).alias(
-        "pos_deltas"
-    )
+    # serialized as a comma-joined string: the gate canonicalizer hashes
+    # a sorted pandas frame and array cells are unhashable, and a real
+    # index store serializes the gap list anyway (varint bytes there,
+    # csv here for a text-stable value hash)
+    deltas = F.array_join(
+        F.zip_with(poss, shifted, lambda a, b: a - b).cast(
+            "array<string>"
+        ),
+        ",",
+    ).alias("pos_deltas")
     if df_via_window:
         out = pl.select(
             "term",
@@ -265,9 +272,10 @@ def _inverted_postings_sql() -> str:
           FROM tok GROUP BY term, doc_id
         )
         SELECT term, doc_id, tf,
-               list_transform(range(1, len(poss) + 1),
-                 i -> CASE WHEN i = 1 THEN poss[1]
-                      ELSE poss[i] - poss[i - 1] END) AS pos_deltas,
+               array_to_string(
+                 list_transform(range(1, len(poss) + 1),
+                   i -> CASE WHEN i = 1 THEN poss[1]
+                        ELSE poss[i] - poss[i - 1] END), ',') AS pos_deltas,
                COUNT(*) OVER (PARTITION BY term) AS df
         FROM pl ORDER BY term, doc_id
     """
