@@ -138,6 +138,10 @@ EXTRA = [
     "inverted_postings",
     "shard_fixity_digest",
     "doc_chunks",
+    "bpe_pair_stats",
+    "doc_lm_perplexity",
+    "bpe_learn_merges",
+    "doc_bpe_tokens",
 ]
 
 

@@ -301,6 +301,397 @@ def _doc_chunks_sql(
 """
 
 
+BPE_TOP_K = 50  # merge candidates reported (rank <= K)
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistics: the first BPE merge iteration's
+    adjacent-symbol pair counts (Sennrich, Haddow & Birch, ACL 2016)
+    over the corpus, reported as the top-``BPE_TOP_K`` merge candidates.
+    The brief's "BPE-ish token counting" as a first-class operator: a
+    subword tokenizer is trained on exactly these counts, and every LLM
+    data pipeline computes them before anything else touches tokens. No
+    reference counterpart (ref main.py never tokenizes below words).
+
+    Contract (integer-exact, engine-portable): words are the shared
+    corpus tokenizer (``lower(trim(text))`` split on whitespace), words
+    shorter than 2 chars contribute no pairs, the symbol alphabet is
+    single characters (no end-of-word marker — stated contract, applied
+    identically in the oracle), a pair occurrence is each adjacent char
+    position in each word occurrence ("aaa" x5 contributes 10 to "aa"),
+    ``n_word_types`` counts distinct words containing the pair, and the
+    ranking tie-break is (pair_count DESC, pair ASC) so the top-K set is
+    deterministic across engines.
+
+    Scale shape — the real-BPE-trainer shape: the corpus collapses to
+    the word-frequency dict FIRST (one map-side-combinable hash
+    aggregate; vocab-sized output, Zipf-collapsed far below the corpus),
+    and every subsequent step — pair explode (fan-out = word length,
+    bounded by max word length, not corpus size), pair aggregate —
+    operates on the VOCAB, never the corpus. The ranking window's
+    single-partition exchange moves only the aggregated pair frame,
+    bounded by the squared character alphabet (~1-2k rows at ANY corpus
+    size), which is why a global row_number is safe here and nowhere
+    else. Everything JVM-side; zero Python.
+    """
+    wf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wf.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").alias("pair_count"),
+        F.countDistinct("w").alias("n_word_types"),
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    )
+    return (
+        agg.withColumn("rank", rnk)
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("rank", "pair", "pair_count", "n_word_types")
+        .orderBy("rank")
+    )
+
+
+def _bpe_pair_stats_sql(top_k: int = BPE_TOP_K) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS cnt FROM toks
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> w[i:i+1])) AS pair,
+             cnt, w
+      FROM wf
+    ),
+    a AS (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+             COUNT(DISTINCT w) AS n_word_types
+      FROM p GROUP BY pair
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC)
+                AS rank
+      FROM a
+    )
+    SELECT rank, pair, pair_count, n_word_types FROM r
+    WHERE rank <= {top_k} ORDER BY rank
+"""
+
+
+BPE_MERGE_STEPS = 6  # greedy merge iterations learned
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE trainer (Sennrich, Haddow & Birch, ACL 2016
+    algorithm 1): ``BPE_MERGE_STEPS`` greedy merge iterations over the
+    corpus — each step counts adjacent-symbol pairs (weighted by word
+    frequency, every adjacent position counts, exactly
+    ``bpe_pair_stats``'s contract), picks the argmax with the
+    deterministic (count DESC, left ASC, right ASC) tie-break, and
+    applies the merge leftmost-non-overlapping to every word's symbol
+    sequence. Output is the learned merge table (step, left_sym,
+    right_sym, pair_count); if the corpus exhausts (no pairs remain)
+    the remaining steps emit no rows in both engines. Completes the
+    tokenizer story ``bpe_pair_stats`` opens: that query is this one's
+    step 1. No reference counterpart (ref main.py never tokenizes
+    below words).
+
+    Merge application is engine-portable single-pass string rewriting:
+    symbol sequences are encoded with single outer guards and DOUBLE
+    inner separators (`` a  b  c ``), and the merge is the standard SQL
+    ``replace(syms, ' l  r ', ' lr ')``. The double separator is what
+    makes one left-to-right non-overlapping pass correct on runs: each
+    match consumes only the two spaces INSIDE the pair, and the match's
+    restored trailing space plus the untouched neighbor separator
+    rebuild the next candidate's leading boundary (`` a  a  a  a `` ->
+    `` aa  aa `` in one pass — a shared single separator would drop the
+    second match). Outer guards stop partial-symbol matches ("b  a"
+    can never match inside "ab  a"). Both engines' ``replace`` is the
+    same leftmost-non-overlapping scan, equal by construction to the
+    fold semantics of the reference algorithm.
+
+    Scale shape — the real distributed-BPE-trainer shape: ONE corpus
+    scan collapses to the word-frequency dict; every iteration is
+    vocab-shaped (pair explode fan-out bounded by max word length, pair
+    aggregate bounded by the live symbol alphabet squared, argmax a
+    TakeOrdered over that). The 1-row argmax NEVER visits the driver —
+    it is localCheckpointed and broadcast-crossJoined back onto the
+    vocab for the rewrite, and the vocab is re-checkpointed per step so
+    the iterative lineage stays flat (the graph-operator precedent).
+    All integer arithmetic, zero Python, zero driver collects.
+    """
+    from functools import reduce
+
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    tops, _vocab, ckpts = bpe_train(spark, sf_dir)
+    steps = [
+        top.select(
+            F.lit(step).alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("pc").alias("pair_count"),
+        )
+        for step, top in enumerate(tops, start=1)
+    ]
+    out = reduce(DataFrame.unionByName, steps).orderBy("step")
+    out._graft_checkpoints = ckpts
+    return out
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, k: int = BPE_MERGE_STEPS
+) -> tuple[list[DataFrame], DataFrame, list[DataFrame]]:
+    """Run the k-step trainer loop; returns (per-step 1-row argmax
+    frames, final symbolized vocab, all checkpointed frames to
+    release). Every frame in the loop is localCheckpointed so the
+    iterative lineage stays flat."""
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    vocab = tracked_local_checkpoint(bpe_symbolized_vocab(spark, sf_dir))
+    ckpts = [vocab]
+    tops = []
+    for _step in range(k):
+        top = tracked_local_checkpoint(bpe_pair_argmax(vocab))
+        ckpts.append(top)
+        tops.append(top)
+        vocab = tracked_local_checkpoint(bpe_apply_merge(vocab, top))
+        ckpts.append(vocab)
+    return tops, vocab, ckpts
+
+
+def bpe_symbolized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, cnt, syms) word-frequency dict with guard/double-separator
+    symbol encoding — one corpus scan, one map-side-combined hash agg."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                "concat(' ', array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '  '), ' ')"
+            ).alias("syms"),
+        )
+    )
+
+
+def bpe_pair_argmax(vocab: DataFrame) -> DataFrame:
+    """1-row (l, r, pc) argmax of frequency-weighted adjacent-pair
+    counts over the current symbolization; deterministic tie-break."""
+    pairs = (
+        vocab.select(
+            "cnt", F.split(F.trim(F.col("syms")), "  ").alias("sl")
+        )
+        .filter(F.size("sl") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sl) - 1),"
+                    " i -> struct(element_at(sl, i) AS l,"
+                    "             element_at(sl, i + 1) AS r))"
+                )
+            ).alias("b"),
+        )
+        .select("cnt", "b.l", "b.r")
+    )
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("cnt").alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(1)
+    )
+
+
+def bpe_apply_merge(vocab: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every symbol sequence with the merge — broadcast LEFT
+    join of the at-most-1-row argmax, single-pass replace (see the
+    q_bpe_learn_merges docstring for why one pass is correct). LEFT
+    (not cross) so merge exhaustion passes the vocab through unchanged
+    instead of annihilating it — the merge-table output is identical
+    either way (no pairs -> empty argmax forever) but the tokenizer
+    apply (`doc_bpe_tokens`) needs the surviving vocab."""
+    return vocab.join(F.broadcast(top), F.lit(True), "left").select(
+        "w",
+        "cnt",
+        F.coalesce(
+            F.expr(
+                "replace(syms, concat(' ', l, '  ', r, ' '),"
+                " concat(' ', l, r, ' '))"
+            ),
+            F.col("syms"),
+        ).alias("syms"),
+    )
+
+
+def _bpe_train_ctes(k: int = BPE_MERGE_STEPS) -> str:
+    """The unrolled k-layer trainer as DuckDB CTE text (shared by the
+    merge-table and tokenizer-apply oracles): each layer counts pairs
+    over v{s-1}, takes the deterministic argmax t{s}, and rewrites into
+    v{s} via LEFT JOIN ON TRUE + coalesce (exhaustion passes the vocab
+    through unchanged — mirror of bpe_apply_merge)."""
+    parts = [
+        f"toks AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)",
+        "wf AS (SELECT w, COUNT(*) AS cnt FROM toks"
+        " WHERE w <> '' GROUP BY w)",
+        "v0 AS (SELECT w, cnt,"
+        " ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i:i]), '  ') || ' ' AS syms"
+        " FROM wf)",
+    ]
+    for s in range(1, k + 1):
+        parts.append(
+            f"p{s} AS (SELECT cnt,"
+            " unnest(list_transform(range(1, len(sl)),"
+            " i -> {'l': sl[i], 'r': sl[i + 1]})) AS b"
+            f" FROM (SELECT cnt, string_split(trim(syms), '  ') AS sl"
+            f" FROM v{s - 1}))"
+        )
+        parts.append(
+            f"t{s} AS (SELECT b['l'] AS l, b['r'] AS r,"
+            " CAST(SUM(cnt) AS BIGINT) AS pc"
+            f" FROM p{s} GROUP BY 1, 2"
+            " ORDER BY pc DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{s} AS (SELECT v.w, v.cnt,"
+            " coalesce(replace(v.syms, ' ' || t.l || '  ' || t.r || ' ',"
+            " ' ' || t.l || t.r || ' '), v.syms) AS syms"
+            f" FROM v{s - 1} v LEFT JOIN t{s} t ON TRUE)"
+        )
+    return ",\n        ".join(parts)
+
+
+def _bpe_learn_merges_sql(k: int = BPE_MERGE_STEPS) -> str:
+    selects = "\n        UNION ALL ".join(
+        f"SELECT CAST({s} AS INT) AS step, l AS left_sym,"
+        f" r AS right_sym, pc AS pair_count FROM t{s}"
+        for s in range(1, k + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes(k)}
+        {selects}
+        ORDER BY step
+"""
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: segment every document with the
+    ``BPE_MERGE_STEPS``-merge BPE model trained by ``bpe_learn_merges``
+    on the same corpus, and report per-doc subword-token counts and the
+    chars-per-token compression ratio — the number an LLM pipeline
+    needs from its tokenizer for packing, pricing, and length budgets
+    (and the standard tokenizer-quality metric). Closes the loop:
+    ``bpe_pair_stats`` (step-1 counts) -> ``bpe_learn_merges`` (the
+    trained merge table) -> this (the corpus tokenized with it).
+
+    Contract: words as the shared corpus tokenizer (empties dropped);
+    a word's subword count is the symbol count of its fully-merged
+    sequence (single-char words are 1 symbol and never merge); doc
+    rows exist for docs with >= 1 word; ``chars_per_token`` is
+    sum(len(word)) / sum(subwords) stable-rounded at 6 (a single
+    division of exact integers — bit-identical across engines).
+
+    Scale shape: the trainer loop is vocab-shaped throughout (see
+    q_bpe_learn_merges); the apply is ONE second corpus pass — explode
+    words, join the (word -> symbol-count) dict (vocab-shaped:
+    broadcast at gate scale via AQE, shuffle-hash on the word key at
+    web scale), and a map-side-combinable per-doc aggregate. Integer
+    arithmetic end to end; zero Python; no driver collects.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+
+    _tops, vocab, ckpts = bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("syms")), "  ")).alias("n_sym"),
+    )
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    out = (
+        words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sym").alias("n_subword_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_subword_tokens",
+            stable_round(
+                F.col("n_chars") / F.col("n_subword_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+    out._graft_checkpoints = ckpts
+    return out
+
+
+def _doc_bpe_tokens_sql(k: int = BPE_MERGE_STEPS) -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    ratio = stable_round_sql(
+        "n_chars / CAST(n_subword_tokens AS DOUBLE)", 6
+    )
+    return f"""
+        WITH {_bpe_train_ctes(k)},
+        seg AS (
+          SELECT w, len(string_split(trim(syms), '  ')) AS n_sym
+          FROM v{k}
+        ),
+        words AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+                 CAST(SUM(n_sym) AS BIGINT) AS n_subword_tokens
+          FROM words JOIN seg USING (w)
+          WHERE w <> ''
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_chars, n_subword_tokens,
+               {ratio} AS chars_per_token
+        FROM agg ORDER BY doc_id
+    """
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style salient terms: per-doc top-3 by tf * (N/df).
 
@@ -471,6 +862,153 @@ def _doc_unigram_freq_sql() -> str:
                {mean_freq} AS mean_tok_freq,
                {rare_frac} AS rare_frac
         FROM d ORDER BY doc_id
+    """
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model perplexity scoring (Wenzek et al.,
+    LREC 2020): train a bigram LM with add-one smoothing on the corpus
+    itself and score every document by average negative log-likelihood
+    and perplexity — THE classic LLM-data quality filter (CCNet buckets
+    the corpus into head/middle/tail by exactly this number). Upgrades
+    ``doc_unigram_freq``'s exact-rational surrogate to the real
+    log-probability signal. No reference counterpart (ref main.py never
+    models token sequences).
+
+    Contract (engine-portable): words are the shared corpus tokenizer
+    with empties dropped; docs with < 2 tokens emit no row; the model is
+    P(w2|w1) = (C(w1,w2) + 1) / (C(w1→·) + V) where C(w1→·) counts
+    bigram occurrences with history w1 and V is the number of distinct
+    continuation types (Kneser-Ney's continuation vocabulary — stated
+    contract, applied identically in the oracle); nll is the
+    count-weighted mean of -ln P over the doc's bigram positions, ppl =
+    exp(nll). Every probability is a single correctly-rounded division
+    of exact integers, so both engines feed ``ln`` bit-identical doubles
+    and only last-ulp ``ln``/summation-order noise remains — absorbed by
+    ``stable_round`` (nll@6, ppl@3) exactly as in ``bm25_topk``.
+
+    Scale shape: ONE corpus scan collapses straight to the per-doc
+    bigram multiset (map-side-combinable; repeated bigrams collapse),
+    localCheckpointed so its two consumers — the model-side aggregates
+    and the scoring join — never rescan the corpus. The bigram dict,
+    history dict, and 1-row V frame are all derived from that multiset
+    (vocab²-, vocab-, and 1-shaped; Zipf-collapsed far below corpus
+    size); the history dict and V broadcast onto the bigram dict, and
+    the enriched dict joins back to the multiset on (w1, w2) — at gate
+    scale AQE broadcasts it, at 100 TB (web-scale bigram dict >
+    broadcast threshold) the same plan degrades to a shuffle join on the
+    bigram key, the multiset's only exchange after its own aggregation.
+    Per-doc scoring aggregates map-side. Zero Python.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    ts = F.filter(_tokens_col(), lambda t: t != "")
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    db = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, i) AS w1,"
+                    "             element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    db = tracked_local_checkpoint(db)
+
+    # bg feeds THREE consumers (the enrich join, the history dict, the
+    # continuation-vocab scalar) — materialize it so the (w1, w2) shuffle
+    # over the multiset runs once, not three times.
+    bg = tracked_local_checkpoint(
+        db.groupBy("w1", "w2").agg(F.sum("cnt").alias("bgc"))
+    )
+    hist = bg.groupBy("w1").agg(F.sum("bgc").alias("histc"))
+    vstats = bg.agg(F.count_distinct(F.col("w2")).alias("v_cont"))
+    bge = (
+        bg.join(F.broadcast(hist), "w1")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("bgc") + 1).cast("double")
+                / (F.col("histc") + F.col("v_cont")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    out = (
+        db.join(bge, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("logp")).alias("sl"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(-F.col("sl") / F.col("n_bigrams"), 6).alias("nll"),
+            stable_round(
+                F.exp(-F.col("sl") / F.col("n_bigrams")), 3
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+    out._graft_checkpoints = [db, bg]
+    return out
+
+
+def _doc_lm_perplexity_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    nll = stable_round_sql("-sl / CAST(n_bigrams AS DOUBLE)", 6)
+    ppl = stable_round_sql("EXP(-sl / CAST(n_bigrams AS DOUBLE))", 3)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS ts
+          FROM documents
+        ),
+        d2 AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2),
+        db AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS cnt
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, len(ts)),
+                     i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS b
+            FROM d2
+          )
+          GROUP BY doc_id, b['w1'], b['w2']
+        ),
+        bg AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS bgc
+               FROM db GROUP BY w1, w2),
+        hist AS (SELECT w1, CAST(SUM(bgc) AS BIGINT) AS histc
+                 FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v_cont FROM bg),
+        sc AS (
+          SELECT db.doc_id, db.cnt,
+                 LN(CAST(bg.bgc + 1 AS DOUBLE)
+                    / CAST(hist.histc + v.v_cont AS DOUBLE)) AS logp
+          FROM db JOIN bg USING (w1, w2) JOIN hist USING (w1) CROSS JOIN v
+        ),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                 SUM(cnt * logp) AS sl
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, {nll} AS nll, {ppl} AS ppl
+        FROM agg ORDER BY doc_id
     """
 
 
@@ -2528,6 +3066,9 @@ QUERIES = {
     "doc_tech_stack": q_doc_tech_stack,
     "doc_classification": q_doc_classification,
     "token_counts": q_token_counts,
+    "bpe_pair_stats": q_bpe_pair_stats,
+    "bpe_learn_merges": q_bpe_learn_merges,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_chunks": q_doc_chunks,
     "doc_length_ranks": q_doc_length_ranks,
     "doc_shard_order": q_doc_shard_order,
@@ -2545,6 +3086,7 @@ QUERIES = {
     "cluster_split_assign": q_cluster_split_assign,
     "star_cluster_labels": q_star_cluster_labels,
     "doc_unigram_freq": q_doc_unigram_freq,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
@@ -2566,6 +3108,9 @@ ORACLES = {
     "doc_tech_stack": Q_DOC_TECH_STACK_SQL,
     "doc_classification": _classification_sql(),
     "token_counts": Q_TOKEN_COUNTS_SQL,
+    "bpe_pair_stats": _bpe_pair_stats_sql(),
+    "bpe_learn_merges": _bpe_learn_merges_sql(),
+    "doc_bpe_tokens": _doc_bpe_tokens_sql(),
     "doc_chunks": _doc_chunks_sql(),
     "quality_scores": _quality_scores_sql(),
     "lang_guess": _lang_guess_sql(),
@@ -2581,6 +3126,7 @@ ORACLES = {
     "cluster_split_assign": _cluster_split_sql(),
     "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
     "doc_unigram_freq": _doc_unigram_freq_sql(),
+    "doc_lm_perplexity": _doc_lm_perplexity_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,

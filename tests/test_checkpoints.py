@@ -78,7 +78,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "event_affinity_rules", "graph_triangle_coeff",
                  "graph_khop_dist", "redirect_resolve", "dust_rules",
                  "host_boilerplate", "graph_hits_scores",
-                 "shard_fixity_digest"):
+                 "shard_fixity_digest", "doc_lm_perplexity",
+                 "bpe_learn_merges", "doc_bpe_tokens"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

@@ -677,6 +677,106 @@ def test_inverted_postings_two_exchanges_no_python(spark, queries):
     assert "ArrowEvalPython" not in plan, plan
 
 
+def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
+    """Tokenizer-stats scale contract: the corpus collapses to the
+    word-frequency dict FIRST (partial-combined aggregate before the
+    pair Generate), the pair aggregate is the only other hash exchange,
+    and the ranking is a TakeOrderedAndProject feeding the row_number
+    window — no SinglePartition exchange of anything corpus- or
+    vocab-shaped, one scan pruned to the text column, zero Python."""
+    plan = explain_str(queries["bpe_pair_stats"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 2, plan
+    assert "TakeOrderedAndProject" in tree, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the word-frequency aggregate precedes the pair explode: between
+    # the pair Generate (upper) and the token Generate (lower) the tree
+    # must contain the word-dict aggregate and its exchange
+    first = tree.index("Generate")
+    second = tree.index("Generate", first + 1)
+    between = tree[first:second]
+    assert "HashAggregate" in between and "Exchange" in between, plan
+
+
+def test_bpe_trainer_iterations_vocab_shaped(spark, queries):
+    """Iterative BPE-trainer scale contract. Final frame: a bare Union
+    of the K materialized 1-row argmax frames — zero parquet scans
+    (everything behind the per-step checkpoints), no hash exchange, no
+    Python. Per-iteration machinery, pinned on the step pipeline
+    itself: the pair argmax over a materialized vocab is ONE hash
+    exchange (partial-combined sum) into a TakeOrderedAndProject —
+    never a global sort — and the merge rewrite is a broadcast
+    nested-loop of the 1-row argmax (never Cartesian), keeping every
+    iteration vocab-shaped with a flat lineage."""
+    from job_crawler_spark.operators.checkpoints import (
+        release,
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+    from job_crawler_spark.plans.textops import (
+        BPE_MERGE_STEPS,
+        bpe_apply_merge,
+        bpe_pair_argmax,
+        bpe_symbolized_vocab,
+    )
+
+    df = queries["bpe_learn_merges"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 0, plan
+    assert "Union" in tree, plan
+    assert tree.count("Scan ExistingRDD") == BPE_MERGE_STEPS, plan
+    assert n_hash_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # one live iteration over a materialized vocab
+    v0 = tracked_local_checkpoint(bpe_symbolized_vocab(spark, SF_DIR))
+    try:
+        top = bpe_pair_argmax(v0)
+        p_top = explain_str(top)
+        assert "TakeOrderedAndProject" in p_top, p_top
+        assert n_hash_exchanges(p_top) == 1, p_top
+        assert "partial_sum" in p_top, p_top
+        assert "Exchange SinglePartition" not in p_top, p_top
+        top = tracked_local_checkpoint(top)
+        p_apply = explain_str(bpe_apply_merge(v0, top))
+        assert "BroadcastNestedLoopJoin LeftOuter" in p_apply, p_apply
+        assert "CartesianProduct" not in p_apply, p_apply
+    finally:
+        release(v0, top)
+
+
+def test_lm_perplexity_dicts_materialized_no_corpus_rescan(spark, queries):
+    """LM-scoring scale contract: the corpus collapses once to the
+    per-doc bigram multiset and the (w1,w2) dict aggregate runs once —
+    both localCheckpointed, so the visible plan has ZERO parquet scans
+    and exactly four ExistingRDD reads (multiset x1 for scoring, dict x3
+    for enrich/history/continuation-vocab). Remaining exchanges are the
+    vocab-shaped history dict, the distinct-w2 partial, and the per-doc
+    aggregate (3 hash + the 1-row V scalar merge); history and V ride
+    broadcasts onto the dict; zero Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["doc_lm_perplexity"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 0, plan
+    assert tree.count("Scan ExistingRDD") == 4, plan
+    assert n_hash_exchanges(plan) == 3, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastNestedLoopJoin Cross" in tree, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_fixity_digest_scan_once_mapside_xor(spark, queries):
     """Integrity-audit scale contract: the corpus scan + shard aggregate
     run ONCE behind the localCheckpoint (zero parquet scans in the
