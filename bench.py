@@ -142,6 +142,7 @@ EXTRA = [
     "doc_lm_perplexity",
     "bpe_learn_merges",
     "doc_bpe_tokens",
+    "events_profile",
 ]
 
 

@@ -1059,7 +1059,87 @@ Q_EVENT_ANOMALIES_SQL = f"""
 """
 
 
+# columns profiled -> engine-portable string rendering (ints/strings cast
+# verbatim, timestamps formatted explicitly — double columns are excluded
+# on purpose: float-to-string rendering differs across engines)
+_PROFILE_COLS = [
+    ("event_id", "CAST(event_id AS STRING)"),
+    ("ts", "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"),
+    ("user_id", "CAST(user_id AS STRING)"),
+    ("event_type", "event_type"),
+    ("props", "props"),
+]
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the statistics-collection operator every
+    engine's ANALYZE implements (and what a CBO consumes): per-column
+    row count, null count, EXACT distinct count, and lexicographic
+    min/max over the events table, as one relation of (col_name,
+    n_rows, n_nulls, n_distinct, min_val, max_val). The reference's
+    health check stops at table row counts (health_checker.py:104-162);
+    this is the per-column generalization a 100 TB lake needs for
+    optimizer stats, data-contract monitoring, and drift alerts.
+
+    Contract: values are profiled through an explicit engine-portable
+    string rendering (ints cast, timestamps date_format'd, strings
+    verbatim; DOUBLE columns excluded — float-to-string differs across
+    engines); n_distinct ignores NULLs (COUNT DISTINCT semantics),
+    min/max ignore NULLs, n_nulls counts them.
+
+    Scale shape: ONE scan; the stack() unpivot is a narrow per-row
+    expansion (x n_cols, no shuffle); Spark plans the mixed
+    distinct+non-distinct aggregate as the two-phase Expand form —
+    partial aggregate on (col_name, val) map-side (the only
+    corpus-width shuffle key, Zipf-collapsed per column), then the
+    n_cols-row final aggregate. No Python, no driver loop over
+    columns (the profile is one job, not n_cols jobs).
+    """
+    n = len(_PROFILE_COLS)
+    stack_args = ", ".join(f"'{c}', {expr}" for c, expr in _PROFILE_COLS)
+    unp = _events(spark, sf_dir).select(
+        F.expr(f"stack({n}, {stack_args}) AS (col_name, val)")
+    )
+    return (
+        unp.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("val").isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col("val")).alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _events_profile_sql() -> str:
+    duck_expr = {
+        "event_id": "CAST(event_id AS VARCHAR)",
+        "ts": "strftime(ts, '%Y-%m-%d %H:%M:%S')",
+        "user_id": "CAST(user_id AS VARCHAR)",
+        "event_type": "event_type",
+        "props": "props",
+    }
+    arms = "\n          UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {duck_expr[c]} AS val FROM events"
+        for c, _ in _PROFILE_COLS
+    )
+    return f"""
+        WITH unp AS (
+          {arms}
+        )
+        SELECT col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               COUNT(DISTINCT val) AS n_distinct,
+               MIN(val) AS min_val, MAX(val) AS max_val
+        FROM unp GROUP BY col_name ORDER BY col_name
+    """
+
+
 QUERIES = {
+    "events_profile": q_events_profile,
     "hourly_event_counts": q_hourly_event_counts,
     "funnel_conversion": q_funnel_conversion,
     "purchase_attribution": q_purchase_attribution,
@@ -1082,6 +1162,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_profile": _events_profile_sql(),
     "hourly_event_counts": Q_HOURLY_SQL,
     "funnel_conversion": Q_FUNNEL_CONVERSION_SQL,
     "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,

@@ -703,6 +703,34 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_events_profile_single_scan_pruned_partial(spark, queries):
+    """ANALYZE-class scale contract: ONE parquet scan whose ReadSchema
+    excludes the unprofiled double column, the stack() unpivot a narrow
+    Generate (no shuffle of its own), a map-side partial aggregate on
+    (col_name, val) BEFORE the first exchange, and no Python stage. The
+    explain runs pre-execution so AQE's final-plan duplication cannot
+    skew the exchange count."""
+    plan = explain_str(queries["events_profile"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert "value" not in [
+        c.strip()
+        for l in plan.splitlines()
+        if "ReadSchema" in l
+        for c in l.split("struct<")[1].rstrip(">").split(",")
+        for c in [c.split(":")[0]]
+    ], plan
+    assert "Generate" in tree, plan
+    assert n_hash_exchanges(plan) == 2, plan
+    # partial (col_name, val) aggregate precedes the first Exchange
+    first_ex = tree.index("Exchange")
+    assert "Aggregate" in tree[first_ex:], plan
+    below_first_ex = tree[first_ex:]
+    assert "Generate" in below_first_ex, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_bpe_trainer_iterations_vocab_shaped(spark, queries):
     """Iterative BPE-trainer scale contract. Final frame: a bare Union
     of the K materialized 1-row argmax frames — zero parquet scans
