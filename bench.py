@@ -143,6 +143,7 @@ EXTRA = [
     "bpe_learn_merges",
     "doc_bpe_tokens",
     "events_profile",
+    "graph_label_prop",
 ]
 
 

@@ -112,6 +112,40 @@ def _graph_authority_sql() -> str:
     """
 
 
+def part_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edge set as canonical (a < b) pairs:
+    per-order baskets via ONE collect_set aggregate, i<j pair expansion
+    as a JVM transform (the affinity-rules pattern; order baskets are
+    tiny), one distinct shuffle. Shared by the triangle/clustering and
+    label-propagation queries."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    ps = F.col("parts")
+    return (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                ps,
+                                i + 2,
+                                F.greatest(F.size(ps) - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+
+
 def q_graph_triangle_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the part
     co-purchase graph (parts sharing an order) — the subgraph-counting
@@ -146,33 +180,7 @@ def q_graph_triangle_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_local_checkpoint,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    ps = F.col("parts")
-    edges = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ps,
-                        lambda x, i: F.transform(
-                            F.slice(
-                                ps,
-                                i + 2,
-                                F.greatest(F.size(ps) - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .distinct()
-    )
-    edges = tracked_local_checkpoint(edges)
+    edges = tracked_local_checkpoint(part_copurchase_edges(spark, sf_dir))
 
     # single pass over the edge set: explode both endpoints, not a
     # union of two projections (which would scan edges twice)
@@ -532,11 +540,131 @@ def _graph_khop_sql() -> str:
     """
 
 
+LP_ROUNDS = 3
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007) over the part co-purchase graph — the community-
+    DETECTION operator class: mode-of-neighbors label updates find
+    dense communities, orthogonal to connected components (pure
+    reachability: CC fuses two dense clusters across a single bridge
+    edge, LP keeps them separate) and to triangle counting (a per-node
+    density statistic, not an assignment).
+    ``LP_ROUNDS`` synchronous rounds; every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its NEIGHBORS (self excluded) with the deterministic (count DESC,
+    label ASC) tie-break — synchronous + total tie order makes the
+    fixed round count exactly reproducible across engines (including
+    the classic 2-cycle oscillation on a bare edge, which the golden
+    pins). Output: (node, label, community_size).
+
+    Scale shape: the edge set is built once and localCheckpointed; each
+    round is the Pregel message pattern — join the node-sized label
+    frame to the materialized adjacency on the neighbor key, one
+    map-side-combinable (node, lbl) vote count, and a per-node
+    WindowGroupLimit argmax (rank-1 filter pushes below the shuffle);
+    the label frame is re-checkpointed per round so the iterative
+    lineage stays flat (the pagerank/HITS precedent). Zero Python, no
+    driver collects; per-round shuffle width is the node/vote frame,
+    never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    edges = tracked_local_checkpoint(part_copurchase_edges(spark, sf_dir))
+    ckpts = [edges]
+    adj = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    labels = tracked_local_checkpoint(
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    ckpts.append(labels)
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    for _r in range(LP_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lbl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = tracked_local_checkpoint(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        ckpts.append(labels)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    out = (
+        labels.join(sizes, "lbl")
+        .select("node", F.col("lbl").alias("label"), "community_size")
+        .orderBy("node")
+    )
+    out._graft_checkpoints = ckpts
+    return out
+
+
+def _graph_label_prop_sql(k: int = LP_ROUNDS) -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, k + 1):
+        rounds.append(
+            f"""
+        v{r} AS (
+          SELECT adj.u AS node, l.lbl, COUNT(*) AS n
+          FROM adj JOIN {prev} l ON l.node = adj.v GROUP BY 1, 2
+        ),
+        l{r} AS (
+          SELECT node, lbl FROM (
+            SELECT node, lbl, ROW_NUMBER() OVER (
+              PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+            FROM v{r}
+          ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{r}"
+    chain = ",".join(rounds)
+    return f"""
+        WITH e0 AS (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+        ),
+        adj AS (
+          SELECT a AS u, b AS v FROM e0
+          UNION ALL SELECT b, a FROM e0
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),{chain},
+        sizes AS (
+          SELECT lbl, COUNT(*) AS community_size FROM {prev} GROUP BY lbl
+        )
+        SELECT l.node, l.lbl AS label, s.community_size
+        FROM {prev} l JOIN sizes s USING (lbl)
+        ORDER BY node
+    """
+
+
 QUERIES = {
     "graph_authority_rank": q_graph_authority_rank,
     "graph_hits_scores": q_graph_hits_scores,
     "graph_triangle_coeff": q_graph_triangle_coeff,
     "graph_khop_dist": q_graph_khop_dist,
+    "graph_label_prop": q_graph_label_prop,
 }
 
 ORACLES = {
@@ -544,4 +672,5 @@ ORACLES = {
     "graph_hits_scores": _graph_hits_sql(),
     "graph_triangle_coeff": _graph_triangle_sql(),
     "graph_khop_dist": _graph_khop_sql(),
+    "graph_label_prop": _graph_label_prop_sql(),
 }

@@ -79,7 +79,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "graph_khop_dist", "redirect_resolve", "dust_rules",
                  "host_boilerplate", "graph_hits_scores",
                  "shard_fixity_digest", "doc_lm_perplexity",
-                 "bpe_learn_merges", "doc_bpe_tokens"):
+                 "bpe_learn_merges", "doc_bpe_tokens",
+                 "graph_label_prop"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

@@ -703,6 +703,68 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_label_prop_rounds_node_shaped(spark, queries):
+    """Community-detection scale contract. Final frame: the size join
+    over the materialized final labels only — zero parquet scans, two
+    ExistingRDD reads, two hash exchanges (the size aggregate + one
+    join side), no Python. Per-round machinery, probed live on a
+    materialized label frame: the neighbor join + vote count is one
+    partial-combined hash aggregate, and the per-node argmax rank-1
+    filter pushes below the shuffle as a map-side WindowGroupLimit, so
+    only per-node top candidates cross the wire."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from job_crawler_spark.operators.checkpoints import (
+        release,
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+    from job_crawler_spark.plans.graph_plans import part_copurchase_edges
+
+    df = queries["graph_label_prop"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 0, plan
+    assert tree.count("Scan ExistingRDD") == 2, plan
+    assert n_hash_exchanges(plan) == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # one live round over materialized edges + labels
+    edges = tracked_local_checkpoint(part_copurchase_edges(spark, SF_DIR))
+    adj = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    labels = tracked_local_checkpoint(
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    try:
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("v"), F.col("lbl")), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("lbl").asc()
+        )
+        nxt = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        p_round = explain_str(nxt)
+        assert "WindowGroupLimit" in p_round, p_round
+        assert "partial_count" in p_round, p_round
+        assert "Location:" not in p_round, p_round
+    finally:
+        release(edges, labels)
+
+
 def test_events_profile_single_scan_pruned_partial(spark, queries):
     """ANALYZE-class scale contract: ONE parquet scan whose ReadSchema
     excludes the unprofiled double column, the stack() unpivot a narrow
