@@ -144,6 +144,7 @@ EXTRA = [
     "doc_bpe_tokens",
     "events_profile",
     "graph_label_prop",
+    "bloom_seen_audit",
 ]
 
 

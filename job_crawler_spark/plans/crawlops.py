@@ -1735,6 +1735,184 @@ def _shard_fixity_sql() -> str:
     """
 
 
+BLOOM_M = 1 << 15  # filter bits
+BLOOM_K = 3  # hash functions
+
+
+def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set audit (Bloom, CACM 1970; Broder & Mitzenmacher's
+    survey is the crawl-context standard): build a deterministic
+    ``BLOOM_M``-bit / ``BLOOM_K``-hash filter over the SEEN canonical
+    URLs (even ids — the `seen_antijoin` contract) and probe it with the
+    revisit candidates (ids divisible by 3), reporting exact
+    false-positive accounting in one row: filter load, hit counts, and
+    the measured fp rate among true non-members. At 100 TB the frontier's
+    seen-check IS a Bloom filter (the exact set no longer fits a
+    broadcast); this operator is the audit that validates deployed (m, k)
+    against a ground-truth sample — and its structural guarantee, zero
+    false NEGATIVES, is pinned by a golden (ids divisible by 6 are true
+    members and must all hit).
+
+    Determinism: bit positions are
+    ``conv(substring(md5('bloom:<i>:' || url), 1, 8), 16, 10) % m`` — the
+    repo's established engine-portable hex->int convention
+    (`shard_rebalance`); every count is an exact integer and the single
+    emitted ratio is one division, stable-rounded.
+
+    Scale shape: the seen set collapses to distinct canonical URLs ONCE
+    (localCheckpointed — it feeds both the bit-set build and the
+    membership mark); the bit set is <= m rows and BROADCASTS onto the
+    exploded probe positions (an O(1) hash lookup per probe bit — the
+    plan-shape argument for why the probe side never shuffles on
+    position); per-probe verdicts aggregate map-side on the probe key;
+    membership truth is one join against the materialized seen set; the
+    final frame is 1-row folds crossJoined via broadcast. Duplicate
+    positions within a probe's k hashes are handled by comparing against
+    the per-probe DISTINCT position count, not k.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    def pos(col, i):
+        h = F.md5(F.concat(F.lit(f"bloom:{i}:"), col))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M
+        )
+
+    f = frontier_df(spark, sf_dir).select(
+        "id", canonicalize_url_col(F.col("url")).alias("u")
+    )
+    seen = tracked_local_checkpoint(
+        f.filter(F.col("id") % 2 == 0).select("u").distinct()
+    )
+    # bits feeds BOTH the probe join and the n_bits_set count — and its
+    # build is a corpus-scale position shuffle; materialize it so that
+    # runs once (it is <= m rows, checkpoint is free).
+    bits = tracked_local_checkpoint(
+        seen.select(
+            F.explode(
+                F.array(*[pos(F.col("u"), i) for i in range(BLOOM_K)])
+            ).alias("p")
+        ).distinct()
+    )
+    probes = (
+        f.filter(F.col("id") % 3 == 0)
+        .select("u")
+        .distinct()
+        .join(
+            seen.select("u", F.lit(1).alias("m")), "u", "left"
+        )
+        .select(
+            "u",
+            F.col("m").isNotNull().alias("is_member"),
+            F.array_distinct(
+                F.array(*[pos(F.col("u"), i) for i in range(BLOOM_K)])
+            ).alias("ps"),
+        )
+    )
+    verdicts = (
+        probes.select(
+            "u", "is_member", F.size("ps").alias("need"),
+            F.explode("ps").alias("p"),
+        )
+        .join(F.broadcast(bits.select("p", F.lit(1).alias("hit"))), "p", "left")
+        .groupBy("u")
+        .agg(
+            F.max(F.col("is_member").cast("int")).alias("is_member"),
+            F.max("need").alias("need"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("got"),
+        )
+        .select(
+            "u", "is_member", (F.col("got") == F.col("need")).alias("bloom_hit")
+        )
+    )
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_member").alias("n_true_member"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(
+            (F.col("bloom_hit") & (F.col("is_member") == 0)).cast("long")
+        ).alias("n_false_pos"),
+    )
+    scal = seen.agg(F.count(F.lit(1)).alias("n_seen")).crossJoin(
+        F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+    )
+    out = agg.crossJoin(F.broadcast(scal)).select(
+        "n_seen",
+        "n_bits_set",
+        "n_probes",
+        "n_true_member",
+        "n_bloom_hits",
+        "n_false_pos",
+        stable_round(
+            F.col("n_false_pos")
+            / F.greatest(
+                F.col("n_probes") - F.col("n_true_member"), F.lit(1)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+    out._graft_checkpoints = [seen, bits]
+    return out
+
+
+def _bloom_seen_audit_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    def pos(i, col="u"):
+        return (
+            f"CAST(('0x' || substring(md5('bloom:{i}:' || {col}), 1, 8))"
+            f" AS BIGINT) % {BLOOM_M}"
+        )
+
+    plist = ", ".join(pos(i) for i in range(BLOOM_K))
+    fp = stable_round_sql(
+        "n_false_pos / CAST(GREATEST(n_probes - n_true_member, 1)"
+        " AS DOUBLE)", 6
+    )
+    return f"""
+        WITH f AS ({FRONTIER_SQL}),
+        c AS (SELECT id, {_CANON_SQL} AS u FROM f),
+        seen AS (SELECT DISTINCT u FROM c WHERE id % 2 = 0),
+        bits AS (
+          SELECT DISTINCT unnest([{plist}]) AS p FROM seen
+        ),
+        probes AS (
+          SELECT pr.u,
+                 EXISTS (SELECT 1 FROM seen s WHERE s.u = pr.u)
+                   AS is_member,
+                 list_distinct([{plist}]) AS ps
+          FROM (SELECT DISTINCT u FROM c WHERE id % 3 = 0) pr
+        ),
+        verd AS (
+          SELECT u, MAX(CASE WHEN is_member THEN 1 ELSE 0 END) AS is_member,
+                 MAX(len(ps)) AS need,
+                 SUM(CASE WHEN EXISTS (SELECT 1 FROM bits b WHERE b.p = pp.p)
+                          THEN 1 ELSE 0 END) AS got
+          FROM (SELECT u, is_member, ps, unnest(ps) AS p FROM probes) pp
+          GROUP BY u
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n_probes,
+                 CAST(SUM(is_member) AS BIGINT) AS n_true_member,
+                 CAST(SUM(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hits,
+                 CAST(SUM(CASE WHEN got = need AND is_member = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+          FROM verd
+        ),
+        scal AS (
+          SELECT (SELECT COUNT(*) FROM seen) AS n_seen,
+                 (SELECT COUNT(*) FROM bits) AS n_bits_set
+        )
+        SELECT n_seen, n_bits_set, n_probes, n_true_member, n_bloom_hits,
+               n_false_pos, {fp} AS fp_rate
+        FROM agg, scal
+    """
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "politeness_rank": q_politeness_rank,
@@ -1755,9 +1933,11 @@ QUERIES = {
     "host_budget_waterfill": q_host_budget_waterfill,
     "registrable_domains": q_registrable_domains,
     "shard_fixity_digest": q_shard_fixity_digest,
+    "bloom_seen_audit": q_bloom_seen_audit,
 }
 
 ORACLES = {
+    "bloom_seen_audit": _bloom_seen_audit_sql(),
     "url_canonicalize": Q_URL_CANON_SQL,
     "politeness_rank": Q_POLITENESS_SQL,
     "first_wins_dedup": _first_wins_sql(),

@@ -703,6 +703,27 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_bloom_audit_broadcast_bits_single_seen_build(spark, queries):
+    """Membership-structure scale contract: the seen set and the <= m-row
+    bit set are each built ONCE (both localCheckpointed — the visible
+    plan holds exactly one parquet scan, the probe path), the bit set
+    joins the exploded probe positions as a BroadcastHashJoin (O(1)
+    lookup per probe bit — the probe side never shuffles on position),
+    no sort-merge joins anywhere, no Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["bloom_seen_audit"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert "BroadcastHashJoin" in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_label_prop_rounds_node_shaped(spark, queries):
     """Community-detection scale contract. Final frame: the size join
     over the materialized final labels only — zero parquet scans, two
