@@ -145,6 +145,7 @@ EXTRA = [
     "events_profile",
     "graph_label_prop",
     "bloom_seen_audit",
+    "daily_ewma",
 ]
 
 

@@ -180,6 +180,91 @@ Q_ERROR_RATE_MA7_SQL = f"""
 """
 
 
+EWMA_ALPHA_LOG2 = 1  # alpha = 2^-1 = 0.5 — see exactness argument below
+
+
+def q_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count —
+    the exponential-decay smoother (Hunter 1986, the EWMA control
+    chart; Holt's level term) complementing `error_rate_ma7`'s
+    rectangular RANGE frame: recency-weighted, infinite-memory,
+    the standard operational-monitoring baseline. Recursion
+    s_1 = x_1, s_t = a*x_t + (1-a)*s_{t-1} with a = 0.5.
+
+    BIT-EXACT cross-engine contract, no stable_round needed: with
+    a = 1/2 the closed form is s_t = a * S_t + (1-a)^t * x_1 where
+    S_t = (sum_{i<=t} x_i * 2^i) * 2^-t. Every term x_i * 2^i is an
+    exact integer-valued double (daily counts < 2^20, t bounded by
+    calendar days), every partial sum stays below 2^53 and is
+    therefore EXACT regardless of association order, and the final
+    scalings are powers of two (exact). Both engines evaluate the
+    identical correctly-rounded expression tree on identical operands,
+    so the hash gate compares raw doubles. `dev` (today's count minus
+    yesterday's smoothed level — the EWMA control-chart residual) is
+    0.0 by contract on the first day.
+
+    Scale shape: the corpus collapses to the daily rollup first (one
+    map-side-combinable aggregate); the running window is
+    single-partition but calendar-bounded — one row per day regardless
+    of corpus size (the error_rate_ma7 argument). Zero Python.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wrun = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.orderBy("day")
+    staged = daily.withColumn("t", F.row_number().over(wall)).withColumn(
+        "term", F.col("n_events") * F.pow(F.lit(2.0), F.col("t"))
+    )
+    s_t = F.sum("term").over(wrun) * F.pow(F.lit(0.5), F.col("t"))
+    x1 = F.first("n_events").over(wrun)
+    ewma = F.lit(0.5) * s_t + F.pow(F.lit(0.5), F.col("t")) * x1
+    out = (
+        staged.withColumn("ewma", ewma)
+        .withColumn(
+            "dev",
+            F.coalesce(
+                F.col("n_events") - F.lag("ewma").over(wall), F.lit(0.0)
+            ),
+        )
+        .select("day", "n_events", "ewma", "dev")
+        .orderBy("day")
+    )
+    return out
+
+
+Q_DAILY_EWMA_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    r0 AS (
+      SELECT day, n_events,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM d
+    ),
+    r AS (
+      SELECT day, n_events, t,
+             FIRST_VALUE(n_events) OVER (ORDER BY day) AS x1,
+             SUM(n_events * POWER(2.0, t))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ssum
+      FROM r0
+    ),
+    e AS (
+      SELECT day, n_events,
+             0.5 * (ssum * POWER(0.5, t)) + POWER(0.5, t) * x1 AS ewma
+      FROM r
+    )
+    SELECT day, n_events, ewma,
+           COALESCE(n_events - LAG(ewma) OVER (ORDER BY day), 0.0) AS dev
+    FROM e ORDER BY day
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1140,6 +1225,7 @@ def _events_profile_sql() -> str:
 
 QUERIES = {
     "events_profile": q_events_profile,
+    "daily_ewma": q_daily_ewma,
     "hourly_event_counts": q_hourly_event_counts,
     "funnel_conversion": q_funnel_conversion,
     "purchase_attribution": q_purchase_attribution,
@@ -1163,6 +1249,7 @@ QUERIES = {
 
 ORACLES = {
     "events_profile": _events_profile_sql(),
+    "daily_ewma": Q_DAILY_EWMA_SQL,
     "hourly_event_counts": Q_HOURLY_SQL,
     "funnel_conversion": Q_FUNNEL_CONVERSION_SQL,
     "purchase_attribution": Q_PURCHASE_ATTRIBUTION_SQL,

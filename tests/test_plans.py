@@ -703,6 +703,25 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_ewma_daily_rollup_before_window(spark, queries):
+    """Exponential-smoother scale contract: the corpus collapses to the
+    calendar-bounded daily rollup FIRST (partial-combined aggregate,
+    the only corpus-width exchange); the running windows operate on one
+    row per day, so the single-partition window exchange is constant
+    width regardless of corpus size (the error_rate_ma7 argument). One
+    scan, no Python."""
+    plan = explain_str(queries["daily_ewma"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the daily aggregate sits BELOW the window machinery in the tree
+    first_window = tree.index("Window")
+    assert "HashAggregate" in tree[first_window:], plan
+
+
 def test_bloom_audit_broadcast_bits_single_seen_build(spark, queries):
     """Membership-structure scale contract: the seen set and the <= m-row
     bit set are each built ONCE (both localCheckpointed — the visible
