@@ -146,6 +146,7 @@ EXTRA = [
     "graph_label_prop",
     "bloom_seen_audit",
     "daily_ewma",
+    "table_expectations",
 ]
 
 

@@ -673,7 +673,129 @@ Q_PART_PARETO_SQL = """
 """
 
 
+ORDER_STATUS_ACCEPTED = ("F", "O", "P")
+
+
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation — the dbt-test /
+    expectation-suite operator class (dbt's not_null / unique /
+    relationships / accepted_values generic tests; Great Expectations'
+    column expectations): five checks over orders, one relation of
+    (check_name, n_checked, n_violations, passed). The reference's
+    health check validates row counts only (health_checker.py:104-162);
+    a 100 TB lake gates ingest batches on exactly this suite.
+
+    Checks: not_null(o_orderkey), unique(o_orderkey),
+    accepted_values(o_orderstatus in F/O/P), range(o_totalprice > 0),
+    and the referential check relationships(o_custkey -> customer) —
+    all integer-exact.
+
+    Scale shape: the four orders-local checks fold into ONE pass — a
+    single aggregate row (violation counters computed side by side,
+    map-side combined; uniqueness as n_rows - n_distinct(key) rides the
+    same two-phase distinct aggregate) unpivoted by a 4-row stack; the
+    FK check is a second orders scan left-anti-joined to the distinct
+    customer keys (broadcast at gate scale — the dimension side; at
+    100 TB the anti-join shuffles on the key like any FK validation).
+    No per-check driver loop: the suite is two jobs' worth of plan in
+    one DataFrame, not five.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    acc = F.array(*[F.lit(v) for v in ORDER_STATUS_ACCEPTED])
+    local = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+            "v_not_null"
+        ),
+        F.count_distinct(F.col("o_orderkey")).alias("n_distinct_key"),
+        F.sum(
+            (~F.array_contains(acc, F.col("o_orderstatus"))).cast("long")
+        ).alias("v_accepted"),
+        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias(
+            "v_range"
+        ),
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey")
+                ).distinct()
+            ),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    return (
+        local.crossJoin(F.broadcast(fk))
+        .select(
+            F.col("n_rows").alias("n_checked"),
+            F.expr(
+                "stack(5,"
+                " 'not_null_o_orderkey', v_not_null,"
+                " 'unique_o_orderkey', n_rows - n_distinct_key,"
+                " 'accepted_values_o_orderstatus', v_accepted,"
+                " 'range_o_totalprice_positive', v_range,"
+                " 'relationships_o_custkey_customer', v_fk)"
+                " AS (check_name, n_violations)"
+            ),
+        )
+        .select(
+            "check_name",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+def _table_expectations_sql() -> str:
+    accepted = ", ".join(f"'{v}'" for v in ORDER_STATUS_ACCEPTED)
+    return f"""
+        WITH local AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS v_not_null,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ({accepted})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted,
+                 CAST(SUM(CASE WHEN NOT (o_totalprice > 0)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+          FROM orders
+        ),
+        fk AS (
+          SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS v_fk
+          FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+        ),
+        checks AS (
+          SELECT 'not_null_o_orderkey' AS check_name, n_rows,
+                 v_not_null AS n_violations FROM local
+          UNION ALL
+          SELECT 'unique_o_orderkey', n_rows, v_unique FROM local
+          UNION ALL
+          SELECT 'accepted_values_o_orderstatus', n_rows, v_accepted
+          FROM local
+          UNION ALL
+          SELECT 'range_o_totalprice_positive', n_rows, v_range FROM local
+          UNION ALL
+          SELECT 'relationships_o_custkey_customer', n_rows, v_fk FROM fk
+        )
+        SELECT check_name, n_rows AS n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM checks ORDER BY check_name
+    """
+
+
 QUERIES = {
+    "table_expectations": q_table_expectations,
     "part_pareto_front": q_part_pareto_front,
     "cohort_retention": q_cohort_retention,
     "event_transition_probs": q_event_transition_probs,
@@ -685,6 +807,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table_expectations": _table_expectations_sql(),
     "part_pareto_front": Q_PART_PARETO_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "event_transition_probs": Q_EVENT_TRANSITION_SQL,

@@ -703,6 +703,24 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_expectations_two_scans_broadcast_fk(spark, queries):
+    """Data-contract-suite scale contract: the four orders-local checks
+    fold into ONE aggregate pass (orders scanned exactly twice in the
+    whole suite — the local agg + the FK probe; customer once) and the
+    FK validation anti-joins against the BROADCAST distinct dimension
+    keys — the 100 TB fact side never shuffles for the suite. The
+    5-check output is a stack over the crossJoined 1-row folds, not a
+    union of per-check jobs."""
+    plan = explain_str(queries["table_expectations"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 3, plan  # orders x2 + customer x1
+    assert "BroadcastHashJoin LeftAnti" in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_ewma_daily_rollup_before_window(spark, queries):
     """Exponential-smoother scale contract: the corpus collapses to the
     calendar-bounded daily rollup FIRST (partial-combined aggregate,
