@@ -1751,7 +1751,10 @@ def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); this operator is the audit that validates deployed (m, k)
     against a ground-truth sample — and its structural guarantee, zero
     false NEGATIVES, is pinned by a golden (ids divisible by 6 are true
-    members and must all hit).
+    members and must all hit). Companion to operators/bloom.py (the
+    deployed broadcast prefilter with its own Python-side bitmaps):
+    this is the relational, oracle-checked audit of that structure's
+    parameters, computed entirely JVM-side.
 
     Determinism: bit positions are
     ``conv(substring(md5('bloom:<i>:' || url), 1, 8), 16, 10) % m`` — the

@@ -207,6 +207,13 @@ def q_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate); the running window is
     single-partition but calendar-bounded — one row per day regardless
     of corpus size (the error_rate_ma7 argument). Zero Python.
+
+    Operating envelope: the 2^t scaling overflows a double past
+    t ~ 970 rows; for multi-year windows, chunk by epoch (re-base the
+    exponent every ~256 days and carry the epoch boundary level — the
+    recursion is associative over prefixes) or switch to the plain
+    recursive form via a stateful pass. The gated contract covers
+    calendar windows well inside the envelope.
     """
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
