@@ -147,6 +147,8 @@ EXTRA = [
     "bloom_seen_audit",
     "daily_ewma",
     "table_expectations",
+    "phrase_search",
+    "lm_quality_buckets",
 ]
 
 

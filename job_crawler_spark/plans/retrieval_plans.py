@@ -253,6 +253,116 @@ def q_inverted_postings(
     return out.orderBy("term", "doc_id")
 
 
+PHRASES: dict[int, tuple[str, str]] = {
+    1: ("table", "hash"),
+    2: ("customer", "join"),
+    3: ("merge", "group"),
+}
+PHRASE_TOP_K = 10
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional PHRASE query — the proximity-retrieval operator class
+    consuming exactly the data `inverted_postings` builds (Lucene's
+    PhraseQuery; Zobel & Moffat §6 "phrase querying"): for each literal
+    two-word phrase, the documents where the words occur ADJACENTLY
+    (pos2 = pos1 + 1), with the adjacency count, top-k per query by
+    (n_matches DESC, doc_id ASC). Closes the retrieval loop the way
+    doc_bpe_tokens closes the tokenizer loop: index build
+    (inverted_postings) -> ranked retrieval (bm25_topk) -> proximity
+    retrieval (this).
+
+    Scale shape — the corpus-shuffle-FREE form: ONE scan, the phrase
+    table broadcast-crossJoined (|phrases| rows), and the adjacency
+    count evaluated as a pure JVM array lambda per (doc, phrase) —
+    size(filter(sequence, i -> tk[i]=t1 AND tk[i+1]=t2)) — so the
+    corpus is never exploded to positions and never shuffles at all;
+    only the (query, matching-doc) scored frame reaches the top-k
+    window, whose rank filter pushes as a WindowGroupLimit. (A first
+    draft joined slot-1 hit lists to slot-2 hit lists on position+1 —
+    the plan scanned the corpus twice, once per slot branch, because
+    Catalyst does not CSE across self-join sides.) Against a PRE-BUILT
+    postings store (`inverted_postings`' layout) the same semantics
+    intersect gap-decoded hit lists without touching the corpus; the
+    DuckDB oracle keeps that positional-join formulation as the
+    independent check of this array form. Zero Python; integer-exact.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tkn = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    phrases = spark.createDataFrame(
+        [(qid, t1, t2) for qid, (t1, t2) in PHRASES.items()],
+        "query_id INT, t1 STRING, t2 STRING",
+    )
+    scored = (
+        docs.select("doc_id", tkn.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .crossJoin(F.broadcast(phrases))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "size(filter(sequence(1, size(tk) - 1),"
+                " i -> element_at(tk, i) = t1"
+                " AND element_at(tk, i + 1) = t2))"
+            ).cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PHRASE_TOP_K)
+        .select("query_id", "doc_id", "n_matches", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _phrase_search_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t1}', '{t2}')" for qid, (t1, t2) in PHRASES.items()
+    )
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) + 1),
+                                       i -> {{'p': i, 't': tk[i]}})) AS e
+          FROM tk
+        ),
+        toks AS (
+          SELECT doc_id, e['p'] AS p, e['t'] AS term FROM pos
+          WHERE e['t'] <> ''
+        ),
+        q(query_id, t1, t2) AS (VALUES {qvals}),
+        scored AS (
+          SELECT q.query_id, a.doc_id, COUNT(*) AS n_matches
+          FROM q
+          JOIN toks a ON a.term = q.t1
+          JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                     AND b.term = q.t2
+          GROUP BY q.query_id, a.doc_id
+        ),
+        r AS (
+          SELECT query_id, doc_id, n_matches,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY n_matches DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, doc_id, n_matches, rank
+        FROM r WHERE rank <= {PHRASE_TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 def _inverted_postings_sql() -> str:
     return r"""
         WITH tk AS (
@@ -284,9 +394,11 @@ def _inverted_postings_sql() -> str:
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "inverted_postings": q_inverted_postings,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLES = {
+    "phrase_search": _phrase_search_sql(),
     "bm25_topk": _bm25_sql(),
     "inverted_postings": _inverted_postings_sql(),
 }

@@ -1012,6 +1012,106 @@ def _doc_lm_perplexity_sql() -> str:
     """
 
 
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split by LM perplexity (Wenzek
+    et al., LREC 2020 §4.3 — the published pipeline buckets Common
+    Crawl by exactly this statistic and trains preferentially on the
+    low-perplexity "head"): quartile cutoffs over `doc_lm_perplexity`'s
+    scores, head = best (lowest-ppl) quarter, tail = worst quarter,
+    with per-bucket counts, ppl ranges, and corpus share.
+
+    Determinism: the cutoffs are exact percentiles at p = 0.25 / 0.75 —
+    EXACT binary fractions chosen deliberately: the interpolation rank
+    h = (n-1)*p and its fractional part are then bit-exact doubles, so
+    Spark `percentile` and DuckDB `quantile_cont` (same linear-
+    interpolation definition) produce bit-identical cutoffs over the
+    identical (already stable-rounded) ppl inputs; tertiles (p = 1/3)
+    would put an irrational-in-binary p into the rank product and risk
+    an off-by-one-ulp cutoff straddling a data value. Bucket boundaries
+    use <=, so every doc lands in exactly one bucket in both engines.
+
+    Scale shape: the perplexity frame is computed ONCE and
+    localCheckpointed (it feeds the cutoff aggregate AND the bucket
+    assignment); the cutoff is a 1-row exact-percentile aggregate
+    broadcast back (see doc_length_quantiles for the sketch swap-in at
+    10^10+ rows); bucketing is a narrow projection; the final frame is
+    a 3-row aggregate. No window over the corpus anywhere.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    ppl_df = q_doc_lm_perplexity(spark, sf_dir)
+    ckpts = list(ppl_df._graft_checkpoints)
+    scored = tracked_local_checkpoint(ppl_df.select("doc_id", "ppl"))
+    ckpts.append(scored)
+    cut = scored.agg(
+        F.percentile(F.col("ppl"), F.lit(0.25)).alias("c1"),
+        F.percentile(F.col("ppl"), F.lit(0.75)).alias("c2"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "ppl",
+        "n_total",
+    )
+    out = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+            F.max("n_total").alias("n_total"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_ppl",
+            "max_ppl",
+            stable_round(F.col("n_docs") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+    out._graft_checkpoints = ckpts
+    return out
+
+
+def _lm_quality_buckets_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    share = stable_round_sql("n_docs / CAST(n_total AS DOUBLE)", 6)
+    return f"""
+        WITH pp AS ({_doc_lm_perplexity_sql()}),
+        cut AS (
+          SELECT quantile_cont(ppl, 0.25) AS c1,
+                 quantile_cont(ppl, 0.75) AS c2,
+                 COUNT(*) AS n_total
+          FROM pp
+        ),
+        b AS (
+          SELECT CASE WHEN ppl <= c1 THEN 'head'
+                      WHEN ppl <= c2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 ppl, n_total
+          FROM pp, cut
+        ),
+        agg AS (
+          SELECT bucket, COUNT(*) AS n_docs,
+                 MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl,
+                 MAX(n_total) AS n_total
+          FROM b GROUP BY bucket
+        )
+        SELECT bucket, n_docs, min_ppl, max_ppl, {share} AS share
+        FROM agg ORDER BY bucket
+    """
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, public
     paper): per-doc distinct-token ratio and top-term share — the rules
@@ -3087,6 +3187,7 @@ QUERIES = {
     "star_cluster_labels": q_star_cluster_labels,
     "doc_unigram_freq": q_doc_unigram_freq,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "lm_quality_buckets": q_lm_quality_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition": q_doc_repetition,
     "doc_split_assign": q_doc_split_assign,
@@ -3127,6 +3228,7 @@ ORACLES = {
     "star_cluster_labels": Q_STAR_CLUSTER_LABELS_SQL,
     "doc_unigram_freq": _doc_unigram_freq_sql(),
     "doc_lm_perplexity": _doc_lm_perplexity_sql(),
+    "lm_quality_buckets": _lm_quality_buckets_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_split_assign": _DOC_SPLIT_SQL,

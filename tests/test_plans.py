@@ -703,6 +703,49 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_lm_buckets_no_corpus_window(spark, queries):
+    """CCNet-bucket scale contract: the perplexity frame is computed
+    once and materialized (zero parquet scans visible — both consumers
+    read the checkpoint), the p25/p75 cutoff is a 1-row exact-
+    percentile aggregate broadcast back via a nested loop (never a
+    corpus-wide rank window — `Window` must not appear at all), and the
+    bucket assignment is a narrow projection into a 3-row aggregate.
+    One bucket-keyed hash exchange; zero Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["lm_quality_buckets"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 0, plan
+    assert "Window" not in tree, plan
+    assert "BroadcastNestedLoopJoin" in tree, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_phrase_search_scan_once_no_corpus_shuffle(spark, queries):
+    """Proximity-retrieval scale contract: ONE corpus scan (the first
+    draft's slot-1/slot-2 hitlist self-join scanned it twice — no CSE
+    across self-join sides), the phrase table a broadcast nested loop,
+    the adjacency count a JVM array lambda (no position explode, no
+    Generate), and exactly one hash exchange — the query-partitioned
+    top-k window, rank filter pushed as a map-side WindowGroupLimit.
+    Zero Python."""
+    plan = explain_str(queries["phrase_search"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "BroadcastNestedLoopJoin" in tree, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Generate" not in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_expectations_two_scans_broadcast_fk(spark, queries):
     """Data-contract-suite scale contract: the four orders-local checks
     fold into ONE aggregate pass (orders scanned exactly twice in the
