@@ -149,6 +149,7 @@ EXTRA = [
     "table_expectations",
     "phrase_search",
     "lm_quality_buckets",
+    "pii_redact",
 ]
 
 

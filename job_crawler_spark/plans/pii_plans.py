@@ -96,10 +96,51 @@ def _pii_spans_sql() -> str:
     """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction TRANSFORM gated (operators/spans.redact_text):
+    every contact span replaced in place by its per-kind token — the
+    pass a training pipeline runs over the corpus before anything else
+    sees the text (detection without redaction is only an audit).
+    Output: (doc_id, redacted, n_removed_chars) over the same in-query
+    contact fixture `pii_spans` scans, so the transform is value-checked
+    against DuckDB's regex engine replacing with identical patterns in
+    identical kind order (earlier kinds win on overlap — the
+    redact_text contract). Narrow shuffle-free projection; rides along
+    any corpus pass at 100 TB; zero Python."""
+    from job_crawler_spark.operators.spans import redact_text
+
+    c = _contact_docs(spark, sf_dir)
+    red = redact_text(F.col("ctext"))
+    return c.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length("ctext") - F.length(red)).cast("long").alias(
+            "n_removed_chars"
+        ),
+    ).orderBy("doc_id")
+
+
+def _pii_redact_sql() -> str:
+    from job_crawler_spark.operators.spans import PII_KINDS
+
+    expr = "ctext"
+    for kind, pat in PII_KINDS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind}]', 'g')"
+    return f"""
+        WITH c AS ({_CTEXT_SQL})
+        SELECT doc_id, {expr} AS redacted,
+               CAST(length(ctext) - length({expr}) AS BIGINT)
+                 AS n_removed_chars
+        FROM c ORDER BY doc_id
+    """
+
+
 QUERIES = {
+    "pii_redact": q_pii_redact,
     "pii_spans": q_pii_spans,
 }
 
 ORACLES = {
+    "pii_redact": _pii_redact_sql(),
     "pii_spans": _pii_spans_sql(),
 }

@@ -703,6 +703,20 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_pii_redact_narrow_scan(spark, queries):
+    """Redaction-transform scale contract: a single projected scan with
+    chained JVM regexp_replace — no Exchange besides the presentation
+    sort, no Generate, no Python; the shape that rides along any 100 TB
+    corpus pass."""
+    plan = explain_str(queries["pii_redact"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 0, plan
+    assert "Generate" not in tree, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_lm_buckets_no_corpus_window(spark, queries):
     """CCNet-bucket scale contract: the perplexity frame is computed
     once and materialized (zero parquet scans visible — both consumers
