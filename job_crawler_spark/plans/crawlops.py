@@ -1831,12 +1831,22 @@ def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", "is_member", (F.col("got") == F.col("need")).alias("bloom_hit")
         )
     )
+    # COALESCE the sums: over an EMPTY probe set SUM is NULL in both
+    # engines (so the cross-engine gate cannot catch it) but the audit
+    # contract is zeros — found by the Python-reference property test.
     agg = verdicts.agg(
         F.count(F.lit(1)).alias("n_probes"),
-        F.sum("is_member").alias("n_true_member"),
-        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
-        F.sum(
-            (F.col("bloom_hit") & (F.col("is_member") == 0)).cast("long")
+        F.coalesce(F.sum("is_member"), F.lit(0)).alias("n_true_member"),
+        F.coalesce(
+            F.sum(F.col("bloom_hit").cast("long")), F.lit(0)
+        ).alias("n_bloom_hits"),
+        F.coalesce(
+            F.sum(
+                (F.col("bloom_hit") & (F.col("is_member") == 0)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
         ).alias("n_false_pos"),
     )
     scal = seen.agg(F.count(F.lit(1)).alias("n_seen")).crossJoin(
@@ -1899,11 +1909,14 @@ def _bloom_seen_audit_sql() -> str:
         ),
         agg AS (
           SELECT COUNT(*) AS n_probes,
-                 CAST(SUM(is_member) AS BIGINT) AS n_true_member,
-                 CAST(SUM(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT)
+                 CAST(COALESCE(SUM(is_member), 0) AS BIGINT)
+                   AS n_true_member,
+                 CAST(COALESCE(SUM(CASE WHEN got = need
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS n_bloom_hits,
-                 CAST(SUM(CASE WHEN got = need AND is_member = 0
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+                 CAST(COALESCE(SUM(CASE WHEN got = need AND is_member = 0
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_false_pos
           FROM verd
         ),
         scal AS (
