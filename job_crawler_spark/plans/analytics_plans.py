@@ -704,18 +704,28 @@ def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
 
     acc = F.array(*[F.lit(v) for v in ORDER_STATUS_ACCEPTED])
+    # COALESCE the violation sums: a NULL value yields a NULL addend
+    # (NULL is not an accepted_values/range violation — dbt semantics;
+    # the not_null check owns NULLs), and SUM over all-NULL addends is
+    # NULL in BOTH engines, so the cross-engine gate cannot catch the
+    # missing zero — found by the Python-reference property test.
     local = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
-            "v_not_null"
-        ),
+        F.coalesce(
+            F.sum(F.col("o_orderkey").isNull().cast("long")), F.lit(0)
+        ).alias("v_not_null"),
         F.count_distinct(F.col("o_orderkey")).alias("n_distinct_key"),
-        F.sum(
-            (~F.array_contains(acc, F.col("o_orderstatus"))).cast("long")
+        F.coalesce(
+            F.sum(
+                (~F.array_contains(acc, F.col("o_orderstatus"))).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
         ).alias("v_accepted"),
-        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias(
-            "v_range"
-        ),
+        F.coalesce(
+            F.sum((~(F.col("o_totalprice") > 0)).cast("long")), F.lit(0)
+        ).alias("v_range"),
     )
     fk = (
         orders.select("o_custkey")
@@ -759,13 +769,17 @@ def _table_expectations_sql() -> str:
     return f"""
         WITH local AS (
           SELECT COUNT(*) AS n_rows,
-                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL
+                                   THEN 1 ELSE 0 END), 0)
                       AS BIGINT) AS v_not_null,
                  COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
-                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ({accepted})
-                          THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted,
-                 CAST(SUM(CASE WHEN NOT (o_totalprice > 0)
-                          THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+                 CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN
+                                        ({accepted})
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS v_accepted,
+                 CAST(COALESCE(SUM(CASE WHEN NOT (o_totalprice > 0)
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS v_range
           FROM orders
         ),
         fk AS (
