@@ -150,6 +150,7 @@ EXTRA = [
     "phrase_search",
     "lm_quality_buckets",
     "pii_redact",
+    "classifier_eval",
 ]
 
 

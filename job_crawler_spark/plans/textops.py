@@ -1991,6 +1991,139 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation metrics — the model-eval operator class
+    (sklearn's classification_report as a relation): per-class support,
+    predicted count, correct count, precision, recall, F1 for the
+    marker-word language identifier (`lang_guess`) against the labeled
+    ``lang`` column, plus a micro-accuracy ``__overall__`` row. The
+    labeled space ({en,de,es,fr,zh}) is wider than the predictable
+    space ({en,de,es}), so zero-prediction classes exercise the
+    guarded divisions non-vacuously.
+
+    Determinism: every metric is ONE division of exact integers —
+    including F1, computed as the harmonic closed form
+    2*n_correct / (n_pred + n_actual) rather than from the two rounded
+    ratios — then stable-rounded; zero-denominator classes report 0.0
+    by contract in both engines.
+
+    Scale shape: the corpus collapses to the |classes|^2 confusion
+    frame FIRST (one map-side-combinable aggregate, localCheckpointed
+    — its four consumers: actual/pred/correct margins and the overall
+    fold — never rescan the corpus); everything after is tiny-frame
+    algebra with broadcast outer joins. Zero Python.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    conf = tracked_local_checkpoint(
+        q_lang_guess(spark, sf_dir)
+    )
+    actual = conf.groupBy(F.col("labeled_lang").alias("label")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    pred = conf.groupBy(F.col("guess").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    correct = conf.filter(
+        F.col("labeled_lang") == F.col("guess")
+    ).select(F.col("labeled_lang").alias("label"), F.col("n").alias("n_correct"))
+    per = (
+        actual.join(pred, "label", "full_outer")
+        .join(correct, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0, stable_round(num.cast("double") / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    per = per.select(
+        "label",
+        "n_actual",
+        "n_pred",
+        "n_correct",
+        ratio(F.col("n_correct"), F.col("n_pred")).alias("precision"),
+        ratio(F.col("n_correct"), F.col("n_actual")).alias("recall"),
+        ratio(
+            F.lit(2) * F.col("n_correct"),
+            F.col("n_pred") + F.col("n_actual"),
+        ).alias("f1"),
+    )
+    overall = conf.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("guess"), F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("n_correct"),
+    ).select(
+        F.lit("__overall__").alias("label"),
+        F.col("n_total").alias("n_actual"),
+        F.col("n_total").alias("n_pred"),
+        "n_correct",
+        ratio(F.col("n_correct"), F.col("n_total")).alias("precision"),
+        ratio(F.col("n_correct"), F.col("n_total")).alias("recall"),
+        ratio(F.col("n_correct"), F.col("n_total")).alias("f1"),
+    )
+    out = per.unionByName(overall).orderBy("label")
+    out._graft_checkpoints = [conf]
+    return out
+
+
+def _classifier_eval_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    def ratio(num, den):
+        r = stable_round_sql(f"CAST({num} AS DOUBLE) / ({den})", 6)
+        return f"CASE WHEN ({den}) > 0 THEN {r} ELSE 0.0 END"
+
+    return f"""
+        WITH conf AS ({_lang_guess_sql()}),
+        a AS (SELECT labeled_lang AS label,
+                     CAST(SUM(n) AS BIGINT) AS n_actual
+              FROM conf GROUP BY 1),
+        p AS (SELECT guess AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+              FROM conf GROUP BY 1),
+        c AS (SELECT labeled_lang AS label, CAST(n AS BIGINT) AS n_correct
+              FROM conf WHERE labeled_lang = guess),
+        m AS (
+          SELECT COALESCE(a.label, p.label, c.label) AS label,
+                 COALESCE(n_actual, 0) AS n_actual,
+                 COALESCE(n_pred, 0) AS n_pred,
+                 COALESCE(n_correct, 0) AS n_correct
+          FROM a FULL OUTER JOIN p ON p.label = a.label
+                 FULL OUTER JOIN c ON c.label = COALESCE(a.label, p.label)
+        ),
+        o AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(SUM(CASE WHEN labeled_lang = guess THEN n
+                          ELSE 0 END) AS BIGINT) AS n_correct
+          FROM conf
+        )
+        SELECT label, n_actual, n_pred, n_correct,
+               {ratio('n_correct', 'n_pred')} AS precision,
+               {ratio('n_correct', 'n_actual')} AS recall,
+               {ratio('2 * n_correct', 'n_pred + n_actual')} AS f1
+        FROM m
+        UNION ALL
+        SELECT '__overall__', n_total, n_total, n_correct,
+               {ratio('n_correct', 'n_total')},
+               {ratio('n_correct', 'n_total')},
+               {ratio('n_correct', 'n_total')}
+        FROM o
+        ORDER BY label
+    """
+
+
 def _lang_guess_sql() -> str:
     def score(lang: str) -> str:
         markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
@@ -3174,6 +3307,7 @@ QUERIES = {
     "doc_shard_order": q_doc_shard_order,
     "quality_scores": q_quality_scores,
     "lang_guess": q_lang_guess,
+    "classifier_eval": q_classifier_eval,
     "fingerprints": q_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
     "exact_dup_groups": q_exact_dup_groups,
@@ -3215,6 +3349,7 @@ ORACLES = {
     "doc_chunks": _doc_chunks_sql(),
     "quality_scores": _quality_scores_sql(),
     "lang_guess": _lang_guess_sql(),
+    "classifier_eval": _classifier_eval_sql(),
     "fingerprints": Q_FINGERPRINTS_SQL,
     "winnow_fingerprints": Q_WINNOW_SQL,
     "exact_dup_groups": Q_EXACT_DUP_GROUPS_SQL,

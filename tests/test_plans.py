@@ -703,6 +703,25 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_classifier_eval_confusion_materialized(spark, queries):
+    """Model-eval scale contract: the corpus collapses to the
+    |classes|^2 confusion frame ONCE (localCheckpointed — zero parquet
+    scans in the visible plan, exactly four ExistingRDD reads for the
+    actual/pred/correct margins and the overall fold); everything after
+    is tiny-frame algebra (full-outer margin joins cannot broadcast,
+    but they join |classes|-row frames). Zero Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["classifier_eval"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 0, plan
+    assert tree.count("Scan ExistingRDD") == 4, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_pii_redact_narrow_scan(spark, queries):
     """Redaction-transform scale contract: a single projected scan with
     chained JVM regexp_replace — no Exchange besides the presentation
