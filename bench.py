@@ -151,6 +151,7 @@ EXTRA = [
     "lm_quality_buckets",
     "pii_redact",
     "classifier_eval",
+    "ranking_eval",
 ]
 
 

@@ -253,6 +253,109 @@ def q_inverted_postings(
     return out.orderBy("term", "doc_id")
 
 
+RANK_EVAL_K = BM25_TOP_K  # evaluate the bm25 top-k as retrieved
+RANK_REL_MIN = 2  # binary-relevance threshold for precision@k
+
+
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-evaluation metrics — the IR-eval operator class
+    (Järvelin & Kekäläinen's nDCG; precision@k): score the
+    `bm25_topk` ranking per query with graded relevance rel = n_terms
+    (distinct query terms matched — the judgment-free graded proxy)
+    as nDCG@k over the retrieved set (IDCG re-sorts the SAME retrieved
+    grades descending — the standard variant when no exhaustive
+    judgments exist; stated contract) plus binary precision@k
+    (rel >= RANK_REL_MIN, divided by the fixed k).
+
+    Determinism: gains 2^rel - 1 are exact integers; each position
+    contributes one division by log2(pos+1); the per-query sums span
+    <= k terms, so last-ulp log/summation noise dies in stable_round@6.
+    IDCG's ideal order is rel-descending with ties broken by rank —
+    tie ORDER cannot change the value (equal grades contribute
+    equally at swapped positions), so the tiebreak is only for plan
+    determinism.
+
+    Scale shape: everything downstream of bm25_topk's scored frame is
+    per-query tiny — two window passes over <= k-row partitions and
+    one aggregate; the heavy lifting (corpus scan, tf, checkpoints)
+    is bm25's and its checkpoint handles are carried through for
+    release. Zero Python.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+
+    bm = q_bm25_topk(spark, sf_dir)
+    rel = F.col("n_terms")
+    gain = F.pow(F.lit(2.0), rel) - 1
+    ideal = Window.partitionBy("query_id").orderBy(
+        rel.desc(), F.col("rank").asc()
+    )
+    d = bm.select(
+        "query_id",
+        "rank",
+        rel.alias("rel"),
+        gain.alias("gain"),
+        F.row_number().over(ideal).alias("ideal_pos"),
+    )
+    agg = d.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(F.col("gain") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        F.sum(F.col("gain") / F.log2(F.col("ideal_pos") + 1)).alias(
+            "idcg"
+        ),
+        F.sum((F.col("rel") >= RANK_REL_MIN).cast("long")).alias(
+            "n_rel"
+        ),
+    )
+    out = agg.select(
+        "query_id",
+        "n_retrieved",
+        stable_round(F.col("dcg"), 6).alias("dcg"),
+        stable_round(F.col("idcg"), 6).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0,
+            stable_round(F.col("dcg") / F.col("idcg"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        stable_round(
+            F.col("n_rel") / F.lit(float(RANK_EVAL_K)), 6
+        ).alias("p_at_k"),
+    ).orderBy("query_id")
+    out._graft_checkpoints = getattr(bm, "_graft_checkpoints", [])
+    return out
+
+
+def _ranking_eval_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    dcg = stable_round_sql("dcg", 6)
+    idcg = stable_round_sql("idcg", 6)
+    ndcg = stable_round_sql("dcg / idcg", 6)
+    p_at_k = stable_round_sql(f"n_rel / {float(RANK_EVAL_K)}", 6)
+    return f"""
+        WITH bm AS ({_bm25_sql()}),
+        d AS (
+          SELECT query_id, rank, n_terms AS rel,
+                 POWER(2.0, n_terms) - 1 AS gain,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY n_terms DESC, rank ASC) AS ideal_pos
+          FROM bm
+        ),
+        agg AS (
+          SELECT query_id, COUNT(*) AS n_retrieved,
+                 SUM(gain / log2(rank + 1)) AS dcg,
+                 SUM(gain / log2(ideal_pos + 1)) AS idcg,
+                 CAST(SUM(CASE WHEN rel >= {RANK_REL_MIN}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+          FROM d GROUP BY query_id
+        )
+        SELECT query_id, n_retrieved, {dcg} AS dcg, {idcg} AS idcg,
+               CASE WHEN idcg > 0 THEN {ndcg} ELSE 0.0 END AS ndcg,
+               {p_at_k} AS p_at_k
+        FROM agg ORDER BY query_id
+    """
+
+
 PHRASES: dict[int, tuple[str, str]] = {
     1: ("table", "hash"),
     2: ("customer", "join"),
@@ -395,10 +498,12 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "inverted_postings": q_inverted_postings,
     "phrase_search": q_phrase_search,
+    "ranking_eval": q_ranking_eval,
 }
 
 ORACLES = {
     "phrase_search": _phrase_search_sql(),
+    "ranking_eval": _ranking_eval_sql(),
     "bm25_topk": _bm25_sql(),
     "inverted_postings": _inverted_postings_sql(),
 }

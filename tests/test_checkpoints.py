@@ -81,7 +81,8 @@ def test_query_checkpoints_released_end_to_end(spark):
                  "shard_fixity_digest", "doc_lm_perplexity",
                  "bpe_learn_merges", "doc_bpe_tokens",
                  "graph_label_prop", "bloom_seen_audit",
-                 "lm_quality_buckets", "classifier_eval"):
+                 "lm_quality_buckets", "classifier_eval",
+                 "ranking_eval"):
         df = queries[name](spark, sf)
         df.count()
         release_checkpoints(df)

@@ -703,6 +703,21 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_ranking_eval_rides_bm25_checkpoint(spark, queries):
+    """IR-eval scale contract: the metric layer adds only per-query-tiny
+    window/aggregate work on top of bm25's checkpointed tf frame — zero
+    parquet scans in the visible plan, no Python."""
+    from job_crawler_spark.operators.checkpoints import release_checkpoints
+
+    df = queries["ranking_eval"](spark, SF_DIR)
+    plan = explain_str(df)
+    release_checkpoints(df)
+    assert plan.count("Location:") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_classifier_eval_confusion_materialized(spark, queries):
     """Model-eval scale contract: the corpus collapses to the
     |classes|^2 confusion frame ONCE (localCheckpointed — zero parquet
