@@ -152,6 +152,7 @@ EXTRA = [
     "pii_redact",
     "classifier_eval",
     "ranking_eval",
+    "ab_test_eval",
 ]
 
 

@@ -673,6 +673,136 @@ Q_PART_PARETO_SQL = """
 """
 
 
+AB_Z_CRIT = 1.96  # two-sided 95%
+
+
+def q_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation-analytics operator — the two-proportion z-test
+    every A/B platform ships: users are split by the stated
+    deterministic assignment (variant A = even user_id, B = odd — the
+    hash-bucket assignment an experiment framework would persist),
+    conversion = the user emitted >= 1 purchase event, and the test
+    reports per-variant exposure/conversion/rate, the pooled z
+    statistic, and the two-sided 95% significance verdict in one row.
+
+    Determinism: rates and the pooled p are single divisions of exact
+    integers; the z denominator is sqrt(p*(1-p)*(1/n_a + 1/n_b)) —
+    every step a correctly-rounded IEEE op on identical operands in
+    both engines, so z differs by at most an ulp and stable_round@6
+    absorbs it. Degenerate guards by contract: zero exposures in
+    either arm, or pooled p in {0, 1} (zero variance), report z = 0.0
+    and not significant.
+
+    Scale shape: one scan -> per-user conversion flag (map-side
+    combinable max aggregate on user_id, the only corpus-width
+    exchange) -> 1-row variant fold; everything after is scalar
+    algebra. Zero Python.
+    """
+    from job_crawler_spark.functions.compat import stable_round
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    folded = users.agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum(
+            ((F.col("user_id") % 2 == 0).cast("int") * F.col("converted"))
+            .cast("long")
+        ).alias("conv_a"),
+        F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("n_b"),
+        F.sum(
+            ((F.col("user_id") % 2 != 0).cast("int") * F.col("converted"))
+            .cast("long")
+        ).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(ok, stable_round((p_a - p_b) / se, 6)).otherwise(
+        F.lit(0.0)
+    )
+    rate_a = F.when(
+        F.col("n_a") > 0, stable_round(p_a, 6)
+    ).otherwise(F.lit(0.0))
+    rate_b = F.when(
+        F.col("n_b") > 0, stable_round(p_b, 6)
+    ).otherwise(F.lit(0.0))
+    return folded.select(
+        "n_a",
+        "conv_a",
+        rate_a.alias("rate_a"),
+        "n_b",
+        "conv_b",
+        rate_b.alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+def _ab_test_eval_sql() -> str:
+    from job_crawler_spark.functions.compat import stable_round_sql
+
+    p_a = "conv_a / CAST(n_a AS DOUBLE)"
+    p_b = "conv_b / CAST(n_b AS DOUBLE)"
+    pool = "(conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)"
+    se = (
+        f"sqrt({pool} * (1 - {pool})"
+        " * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))"
+    )
+    ok = (
+        "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0"
+        " AND conv_a + conv_b < n_a + n_b"
+    )
+    z = (
+        f"CASE WHEN {ok} THEN "
+        + stable_round_sql(f"(({p_a}) - ({p_b})) / ({se})", 6)
+        + " ELSE 0.0 END"
+    )
+    return f"""
+        WITH u AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id
+        ),
+        f AS (
+          SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted
+                     ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN converted
+                     ELSE 0 END) AS BIGINT) AS conv_b
+          FROM u
+        )
+        SELECT n_a, conv_a,
+               CASE WHEN n_a > 0 THEN {stable_round_sql(p_a, 6)}
+                    ELSE 0.0 END AS rate_a,
+               n_b, conv_b,
+               CASE WHEN n_b > 0 THEN {stable_round_sql(p_b, 6)}
+                    ELSE 0.0 END AS rate_b,
+               {z} AS z,
+               abs({z}) > {AB_Z_CRIT} AS significant
+        FROM f
+    """
+
+
 ORDER_STATUS_ACCEPTED = ("F", "O", "P")
 
 
@@ -810,6 +940,7 @@ def _table_expectations_sql() -> str:
 
 QUERIES = {
     "table_expectations": q_table_expectations,
+    "ab_test_eval": q_ab_test_eval,
     "part_pareto_front": q_part_pareto_front,
     "cohort_retention": q_cohort_retention,
     "event_transition_probs": q_event_transition_probs,
@@ -822,6 +953,7 @@ QUERIES = {
 
 ORACLES = {
     "table_expectations": _table_expectations_sql(),
+    "ab_test_eval": _ab_test_eval_sql(),
     "part_pareto_front": Q_PART_PARETO_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "event_transition_probs": Q_EVENT_TRANSITION_SQL,

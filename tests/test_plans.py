@@ -703,6 +703,22 @@ def test_bpe_pair_stats_vocab_shaped_no_global_sort(spark, queries):
     assert "HashAggregate" in between and "Exchange" in between, plan
 
 
+def test_ab_test_single_scan_mapside(spark, queries):
+    """Experimentation-analytics scale contract: one scan, the per-user
+    conversion flag a map-side-combinable aggregate (the only
+    corpus-width exchange), then a 1-row fold and scalar algebra —
+    no window, no join, no Python."""
+    plan = explain_str(queries["ab_test_eval"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("Location:") == 1, plan
+    assert n_hash_exchanges(plan) == 1, plan
+    assert "partial_max" in plan, plan
+    assert "Join" not in tree, plan
+    assert "Window" not in tree, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_ranking_eval_rides_bm25_checkpoint(spark, queries):
     """IR-eval scale contract: the metric layer adds only per-query-tiny
     window/aggregate work on top of bm25's checkpointed tf frame — zero
