@@ -69,7 +69,12 @@ def hits(
     :func:`~job_crawler_spark.operators.checkpoints.release_checkpoints`
     after consuming the result.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the caller's edge derivation ONCE: the two orientation
+    # caches and the node frame below would otherwise each re-execute the
+    # whole upstream plan (a corpus scan + distinct in the gated query) —
+    # three full passes collapsed into one (guide §2.4)
+    e = tracked_local_checkpoint(e0)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -86,6 +91,9 @@ def hits(
     nodes_ck = tracked_persist(
         nodes.repartition("node").sortWithinPartitions("node")
     )
+    # the orientation caches are materialized (tracked_persist is eager) —
+    # the edge checkpoint's blocks are no longer needed
+    release(e)
     n = nodes_ck.count()
     if n == 0:
         raise ValueError("hits: edge frame is empty (no nodes)")
@@ -96,8 +104,17 @@ def hits(
     prev_h_ck: DataFrame | None = None
     auths = nodes_ck.select("node", F.lit(0.0).alias("authority"))
     for i in range(iterations):
+        # Checkpoint the node-sized RAW aggregates, not the normalized
+        # frames: the normalizer total embeds the raw subtree a second
+        # time and the next half-step a third, so materializing the raw
+        # frame (one corpus join + combine per half-step) bounds the plan
+        # at the same cost while the normalize stays a lazy node-sized
+        # join — and the final hub/authority join then reads two cheap
+        # checkpointed subtrees instead of re-executing the last
+        # iteration's corpus joins twice. Boundaries include the LAST
+        # iteration for exactly that reason.
         at_boundary = bool(checkpoint_every) and (
-            (i + 1) % checkpoint_every == 0 and i + 1 < iterations
+            (i + 1) % checkpoint_every == 0 or i + 1 == iterations
         )
         a_raw = (
             e_by_src.join(hubs.withColumnRenamed("node", "src"), "src")
@@ -105,6 +122,12 @@ def hits(
             .agg(F.sum("hub").alias("v"))
             .withColumnRenamed("dst", "node")
         )
+        if at_boundary:
+            new_a_ck = tracked_local_checkpoint(a_raw)
+            if prev_a_ck is not None:
+                release(prev_a_ck)
+            prev_a_ck = new_a_ck
+            a_raw = new_a_ck
         a_tot = a_raw.agg(F.sum("v").alias("atot"))
         auths = (
             nodes_ck.join(a_raw, "node", "left")
@@ -116,23 +139,18 @@ def hits(
                 ).alias("authority"),
             )
         )
-        # the two half-steps are truncated SEPARATELY: the hub half-step
-        # embeds the authority half-step twice (raw join + normalizer),
-        # so one joined checkpoint after both would materialize a DAG
-        # ~3x the size of a half-step — two half-sized jobs schedule far
-        # fewer stages for the same data volume
-        if at_boundary:
-            new_a_ck = tracked_local_checkpoint(auths)
-            if prev_a_ck is not None:
-                release(prev_a_ck)
-            prev_a_ck = new_a_ck
-            auths = new_a_ck
         h_raw = (
             e_by_dst.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("authority").alias("v"))
             .withColumnRenamed("src", "node")
         )
+        if at_boundary:
+            new_h_ck = tracked_local_checkpoint(h_raw)
+            if prev_h_ck is not None:
+                release(prev_h_ck)
+            prev_h_ck = new_h_ck
+            h_raw = new_h_ck
         h_tot = h_raw.agg(F.sum("v").alias("htot"))
         hubs = (
             nodes_ck.join(h_raw, "node", "left")
@@ -144,12 +162,6 @@ def hits(
                 ),
             )
         )
-        if at_boundary:
-            new_h_ck = tracked_local_checkpoint(hubs)
-            if prev_h_ck is not None:
-                release(prev_h_ck)
-            prev_h_ck = new_h_ck
-            hubs = new_h_ck
 
     out = hubs.join(auths, "node")
     if prev_a_ck is not None:

@@ -76,7 +76,12 @@ def pagerank(
     :func:`~job_crawler_spark.operators.checkpoints.release_checkpoints`
     after consuming the result.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the caller's edge derivation ONCE: the degree join, the
+    # node frame and the dangling anti-join below would otherwise each
+    # re-execute the whole upstream plan (a corpus scan + distinct in the
+    # gated query) — three full passes collapsed into one (guide §2.4)
+    e = tracked_local_checkpoint(e0)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -102,6 +107,9 @@ def pagerank(
         .repartition("node")
         .sortWithinPartitions("node")
     )
+    # all three caches are materialized (tracked_persist is eager) — the
+    # edge checkpoint's blocks are no longer needed
+    release(e)
     n = nodes_ck.count()
     if n == 0:
         raise ValueError("pagerank: edge frame is empty (no nodes)")

@@ -66,20 +66,27 @@ def host_ring_pos(col: Column) -> Column:
 
 
 def _assign_expr(pos: Column, vnodes: list[tuple[int, int]]) -> Column:
-    """Successor-shard lookup against a literal sorted vnode array."""
-    arr = F.array(
-        *[
-            F.struct(F.lit(p).alias("pos"), F.lit(s).alias("shard"))
-            for p, s in vnodes
-        ]
-    )
-    # try_element_at, not element_at: a host past the last vnode filters
-    # the array to empty, which must wrap to the first vnode via the
-    # coalesce — strict element_at would raise instead of returning NULL.
-    succ = F.try_element_at(
-        F.filter(arr, lambda x: x["pos"] >= pos), F.lit(1)
-    )["shard"]
-    return F.coalesce(succ, F.lit(vnodes[0][1]))
+    """Successor-shard lookup against the sorted vnode list.
+
+    ``vnodes`` is sorted by position, so the successor (first vnode at or
+    past ``pos``) is an ascending CASE chain of long comparisons — pure
+    whole-stage-codegen branches. The previous form (literal struct array
+    + ``filter`` + ``try_element_at``) built 64 structs per ROW inside
+    interpreted higher-order functions and measured ~50x slower at 150k
+    rows (the wfq_schedule bottleneck). A host past the last vnode falls
+    through to the ELSE wrap-around, exactly like the old empty-filter
+    coalesce. ``pos`` is let-bound (bind_once): the CASE references it in
+    every branch, and CollapseProject would otherwise inline the md5
+    position expression 64x per row."""
+    from job_crawler_spark.functions.compat import bind_once
+
+    def chain(p: Column) -> Column:
+        expr: Column = F.lit(vnodes[0][1])  # wrap-around
+        for vp, vs in reversed(vnodes):
+            expr = F.when(p <= F.lit(vp), F.lit(vs)).otherwise(expr)
+        return expr
+
+    return bind_once(pos, chain)
 
 
 def ring_assign(

@@ -39,7 +39,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from job_crawler_spark.operators.ring import host_ring_pos, ring_vnodes
+from job_crawler_spark.operators.ring import (
+    _assign_expr,
+    host_ring_pos,
+    ring_vnodes,
+)
 
 DEFAULT_VFT_SCALE = 840  # lcm(1..8): every weight in 1..8 divides it
 
@@ -73,21 +77,10 @@ def wfq_schedule(
     per_unit = F.floor(F.lit(vft_scale) / weight.cast("long")).cast("long")
     vft = F.col("host_rank") * per_unit
     vnodes = ring_vnodes(n_shards, n_replicas)
-    arr = F.array(
-        *[
-            F.struct(F.lit(p).alias("pos"), F.lit(s).alias("shard"))
-            for p, s in vnodes
-        ]
-    )
-    pos = host_ring_pos(F.col(host))
-    # try_element_at: empty successor set (host past the last vnode) must
-    # yield NULL and wrap via the coalesce, not raise (see operators/ring.py)
-    shard = F.coalesce(
-        F.try_element_at(
-            F.filter(arr, lambda x: x["pos"] >= pos), F.lit(1)
-        )["shard"],
-        F.lit(vnodes[0][1]),
-    )
+    # successor lookup as the codegen CASE chain (see ring._assign_expr —
+    # the literal-array + interpreted-filter form was the measured
+    # bottleneck of the gated wfq_schedule query)
+    shard = _assign_expr(host_ring_pos(F.col(host)), vnodes)
     with_keys = ranked.withColumn("vft", vft).withColumn("shard", shard)
     w_shard = Window.partitionBy("shard").orderBy(
         F.col("vft").asc(), F.col(host).asc(), F.col("host_rank").asc()

@@ -569,8 +569,6 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collects; per-round shuffle width is the node/vote frame,
     never the corpus.
     """
-    from pyspark.sql import Window
-
     from job_crawler_spark.operators.checkpoints import (
         tracked_local_checkpoint,
     )
@@ -586,9 +584,6 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
     )
     ckpts.append(labels)
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("lbl").asc()
-    )
     for _r in range(LP_ROUNDS):
         votes = (
             adj.join(
@@ -600,10 +595,20 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # argmax as a min_by HASH AGGREGATE over the lexicographic
+        # (-n, lbl) struct — identical winner to the (n DESC, lbl ASC)
+        # row_number rank-1 filter (lbl is unique per (node, lbl) vote
+        # row, so the order is total) but map-side combinable and with
+        # no per-partition sort (the first_wins_agg rationale)
         labels = tracked_local_checkpoint(
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node").agg(
+                F.min_by(
+                    "lbl",
+                    F.struct(
+                        (-F.col("n")).alias("nn"), F.col("lbl").alias("l")
+                    ),
+                ).alias("lbl")
+            )
         )
         ckpts.append(labels)
     sizes = labels.groupBy("lbl").agg(

@@ -54,6 +54,18 @@ def _cos4(a: F.Column, b: F.Column) -> F.Column:
     return stable_round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
 
 
+def _cos4_pre(a: F.Column, b: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """_cos4 with the operand norms HOISTED to per-row projections.
+
+    Same expression graph over the same doubles (sqrt of the same
+    left-to-right dot), so the emitted cosines are bit-identical to
+    _cos4's — but a row's norm is computed once per ROW instead of once
+    per candidate PAIR. In the K-candidate assignment / top-k joins this
+    removes 2/3 of the multiply-aggregate work per pair (guide §2.3:
+    don't recompute what a projection can carry)."""
+    return stable_round(_dot(a, b) / (na * nb), 4)
+
+
 _DOT_SQL = (
     "list_sum(list_transform(range(1, len({a}) + 1),"
     " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -73,9 +85,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The broadcast side is the tiny query set — the big side streams once
     (this is the shape that survives 100x scale-up: queries broadcast,
     corpus scanned, per-query heap via window rank)."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = emb.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
@@ -83,7 +99,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos4(F.col("qe"), F.col("embedding")).alias("cos"),
+        _cos4_pre(
+            F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -181,18 +199,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: top-3 neighbors searched ONLY within the query's LSH
     bucket — the join key is the bucket id, so the shuffle moves each vector
     once and skew is bounded by bucket balance."""
-    emb = _emb(spark, sf_dir).withColumn(
-        "bucket", _bucket_col(F.col("embedding"))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         "bucket",
+        F.col("nrm").alias("qnrm"),
     )
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         "bucket",
+        "nrm",
     )
     scored = (
         q.join(cands, "bucket")
@@ -200,7 +223,9 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _cos4(F.col("qe"), F.col("ce")).alias("cos"),
+            _cos4_pre(
+                F.col("qe"), F.col("ce"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -336,11 +361,24 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard first step before IVF/PQ at 10^10 vectors. The per-vector
     scales CANCEL in the cosine (s_a*s_b*Σq_aq_b / (s_a|q_a| * s_b|q_b|)),
     so scoring is integer dot / integer norms: bit-exact across engines."""
+    def inorm(c: F.Column) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    # integer norm hoisted to a per-row projection (the _cos4_pre
+    # rationale: same doubles, computed once per row not per pair)
     emb = _emb(spark, sf_dir).select(
         "vec_id", _quantize_int8(F.col("embedding")).alias("q")
-    )
+    ).withColumn("qn", inorm(F.col("q")))
     qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"),
     )
     pairs = emb.crossJoin(F.broadcast(qs)).filter(
         F.col("vec_id") != F.col("query_id")
@@ -351,20 +389,11 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
 
-    def inorm(c: F.Column) -> F.Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-        )
-
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         stable_round(
-            idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 4
+            idot.cast("double") / (F.col("qqn") * F.col("qn")), 4
         ).alias("qcos"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -474,12 +503,24 @@ def _assign_nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     the exchange moves ONE row per vector (window ranking would shuffle K
     full-width copies on vec_id and sort — the first_wins_agg rationale).
     Tiebreak matches the oracle's (cos DESC, cid ASC): max over the
-    lexicographic (cos, -cid) pair."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    lexicographic (cos, -cid) pair.
+
+    Norms are hoisted (_cos4_pre): the vector's norm is computed once in
+    the pre-join projection and each centroid's once on the K-row
+    broadcast side, so the K candidate rows per vector each cost one dot
+    instead of one dot plus two norm aggregates — bit-identical cosines."""
+    cents = centroids.select(
+        "cid", "ce", _norm(F.col("ce")).alias("__cn")
+    )
+    scored = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("__vn")
+    ).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cid",
-        _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+        _cos4_pre(
+            F.col("embedding"), F.col("ce"), F.col("__vn"), F.col("__cn")
+        ).alias("cos"),
     )
     return (
         scored.groupBy("vec_id")
@@ -578,17 +619,22 @@ def q_ivf_topk(
         .select("query_id", "qe", "cid", _cos4(F.col("qe"), F.col("ce")).alias("cos"))
         .withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= nprobe)
-        .select("query_id", "qe", "cid")
+        .select("query_id", "qe", _norm(F.col("qe")).alias("qnrm"), "cid")
     )
     probe = tracked_local_checkpoint(probe)
 
+    # candidate scoring with hoisted norms (_cos4_pre): the corpus norm is
+    # one per list row, the query norm rides the checkpointed probe frame
     scored = (
-        lists.join(F.broadcast(probe), "cid")
+        lists.withColumn("nrm", _norm(F.col("embedding")))
+        .join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos4(F.col("qe"), F.col("embedding")).alias("cos"),
+            _cos4_pre(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -766,12 +812,18 @@ def q_neardup_pairs_ann(
         _norm(F.col("embedding")).alias("nrm"),
         "embedding",
     )
-    scored = base.crossJoin(F.broadcast(trained)).select(
+    # assignment scoring reuses base's per-row norm and a per-centroid norm
+    # on the K-row broadcast side (_cos4_pre: bit-identical cosines, 1/3 of
+    # the per-candidate aggregate work)
+    cents = trained.select("cid", "ce", _norm(F.col("ce")).alias("__cn"))
+    scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "ed",
         "nrm",
         "cid",
-        _cos4(F.col("embedding"), F.col("ce")).alias("cos"),
+        _cos4_pre(
+            F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("__cn")
+        ).alias("cos"),
     )
     # top-NPROBE lists per vector as a sorted-struct HASH AGGREGATE (the
     # _assign_nearest rationale, generalized from argmax to top-n): the K

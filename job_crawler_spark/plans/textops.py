@@ -2220,15 +2220,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and Spark agree on the same filtered universe."""
     from job_crawler_spark.functions.compat import stable_round
 
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    df_counts = exploded.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    # kept feeds three consumers (sizes + both join sides); deliberately
-    # recomputed, not persisted — see q_minhash_lsh_pairs' determinism note
-    kept = exploded.join(
-        df_counts.filter(F.col("df") <= MAX_DF).select("shingle"), "shingle"
+    # stop-shingle cutoff via a whole-partition window count over the same
+    # shuffle key the df aggregate would use — each consumer branch then
+    # costs ONE scan + ONE exchange instead of two of each plus a re-join
+    # (guide §2.4: operations keyed the same way share one exchange).
+    # kept feeds two consumers (sizes + buckets); deliberately recomputed,
+    # not persisted — see q_minhash_lsh_pairs' determinism note
+    kept = (
+        exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= MAX_DF)
+        .drop("__df")
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # join-free bucket-local pair expansion (see q_minhash_lsh_pairs): each
@@ -2353,20 +2360,33 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lossy MAX_DF cutoff. Output contract matches ngram_jaccard_pairs
     (a, b, overlap, jaccard) so the two universes can be diffed directly.
     """
-    from job_crawler_spark.functions.compat import stable_round
+    from pyspark.sql import Window
 
-    docs = (
+    from job_crawler_spark.functions.compat import stable_round
+    from job_crawler_spark.operators.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    # the shingle arrays feed THREE executions (posting build + both
+    # verify-join sides) — materialize them once instead of re-running
+    # the tokenize+shingle scan per consumer (guide §2.4; corpus-sized
+    # but narrow: doc_id + distinct shingles)
+    docs = tracked_local_checkpoint(
         _docs(spark, sf_dir)
         .select("doc_id", _shingles_col().alias("sh"))
         .filter(F.size("sh") > 0)
     )
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # tag each posting with its token's global rarity, then per-doc sort:
-    # array_sort over (df, shingle) structs is the global total order
-    # (shingles are distinct within a doc, so no ties)
+    # tag each posting with its token's global rarity via a whole-partition
+    # window over the SAME shuffle key the aggregate would use — one
+    # exchange on shingle instead of aggregate + re-join (guide §2.4:
+    # two operations keyed the same way share one exchange), then per-doc
+    # sort: array_sort over (df, shingle) structs is the global total
+    # order (shingles are distinct within a doc, so no ties)
     per_doc = (
-        exploded.join(dfreq, "shingle")
+        exploded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -2455,7 +2475,7 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     overlap = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    return (
+    out = (
         cand.join(da, "a")
         .join(db, "b")
         .select(
@@ -2472,6 +2492,8 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= SSJOIN_TAU)
         .orderBy("a", "b")
     )
+    out._graft_checkpoints = [docs]
+    return out
 
 
 # oracle: brute-force exact Jaccard on the full universe — every pair
