@@ -24,6 +24,27 @@ def stable_round_sql(expr: str, digits: int) -> str:
     return f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})"
 
 
+def spread(df, factor: int = 2):
+    """Round-robin repartition to ``factor`` x the session's default
+    parallelism — for COMPUTE-heavy narrow stages above small inputs.
+
+    The gate fixtures are single-row-group parquet files, so a scan stage
+    is ONE task no matter what ``maxPartitionBytes``/``minPartitionNum``
+    say (splits cannot cut a row group), and every narrow expression
+    chained above it (regex canonicalization, shingling, MinHash
+    signatures) runs single-threaded. One cheap exchange of the raw rows
+    spreads that compute across the cluster; sized from
+    ``defaultParallelism`` (cores), not a local constant, because the
+    stages this guards are CPU-bound — partition count should track
+    cores, not bytes (the AQE ``parallelismFirst`` rationale). Apply it
+    only where the downstream per-row work dominates the exchange; at
+    real scale multi-row-group files make it a no-op-cost safeguard.
+    Results are partitioning-independent (repartition's
+    sort-before-shuffle keeps retries deterministic)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(factor * sc.defaultParallelism)
+
+
 def bind_once(col: Column, fn) -> Column:
     """Evaluate ``col`` once and reuse it inside ``fn`` (a let-binding).
 

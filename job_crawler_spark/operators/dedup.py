@@ -323,9 +323,18 @@ def connected_components(
         raise ValueError(f"fallback must be 'star' or 'raise', got {fallback!r}")
     # materialize the (symmetrized) edge list ONCE: it is joined every
     # iteration, and without this the whole upstream pair-generation plan
-    # (e.g. the MinHash-LSH pipeline) would re-execute per iteration
-    sym = tracked_local_checkpoint(
-        edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    # (e.g. the MinHash-LSH pipeline) would re-execute per iteration.
+    # Partitioned + sorted on the per-iteration join key and CACHED
+    # (InMemoryRelation preserves partitioning/ordering — the pagerank
+    # edge-frame pattern), so each iteration shuffles only the node-sized
+    # label frame, never the edge list.
+    from job_crawler_spark.operators.checkpoints import tracked_persist
+
+    sym = tracked_persist(
+        edges.selectExpr("a", "b")
+        .union(edges.selectExpr("b AS a", "a AS b"))
+        .repartition("a")
+        .sortWithinPartitions("a")
     )
     labels = tracked_local_checkpoint(
         nodes.select(

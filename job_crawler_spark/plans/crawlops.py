@@ -35,10 +35,17 @@ def frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     priority = ((F.col("o_orderkey") * 1103515245) % 64) / 64.0
-    return orders.select(
-        F.col("o_orderkey").alias("id"),
-        url.alias("url"),
-        priority.alias("priority"),
+    from job_crawler_spark.functions.compat import spread
+
+    # spread: the orders fixture is a single-row-group file (1 scan
+    # task), and every consumer of this frame immediately runs the regex
+    # canonicalizer over it — see functions/compat.spread
+    return spread(
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            url.alias("url"),
+            priority.alias("priority"),
+        )
     )
 
 

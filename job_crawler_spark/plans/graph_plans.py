@@ -571,13 +571,22 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from job_crawler_spark.operators.checkpoints import (
         tracked_local_checkpoint,
+        tracked_persist,
     )
 
     edges = tracked_local_checkpoint(part_copurchase_edges(spark, sf_dir))
     ckpts = [edges]
-    adj = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    # the adjacency is joined on v every round — cache it partitioned +
+    # sorted on the join key ONCE (InMemoryRelation preserves
+    # partitioning/ordering; the pagerank edge-frame pattern), so each
+    # round shuffles only the node-sized label frame
+    adj = tracked_persist(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition("v")
+        .sortWithinPartitions("v")
+    )
+    ckpts.append(adj)
     labels = tracked_local_checkpoint(
         adj.select(F.col("u").alias("node"))
         .distinct()

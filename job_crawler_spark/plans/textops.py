@@ -487,8 +487,12 @@ def bpe_train(
 def bpe_symbolized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(w, cnt, syms) word-frequency dict with guard/double-separator
     symbol encoding — one corpus scan, one map-side-combined hash agg."""
+    from job_crawler_spark.functions.compat import spread
+
+    # spread: single-row-group scan feeding the corpus-collapse aggregate
+    # (functions/compat.spread)
     return (
-        _docs(spark, sf_dir)
+        spread(_docs(spark, sf_dir).select("text"))
         .select(F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -635,8 +639,10 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.size(F.split(F.trim(F.col("syms")), "  ")).alias("n_sym"),
     )
+    from job_crawler_spark.functions.compat import spread
+
     words = (
-        _docs(spark, sf_dir)
+        spread(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w") != "")
     )
@@ -905,9 +911,13 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_local_checkpoint,
     )
 
+    from job_crawler_spark.functions.compat import spread
+
     ts = F.filter(_tokens_col(), lambda t: t != "")
+    # spread: single-row-group scan, tokenize+bigram-heavy
+    # (functions/compat.spread)
     docs = (
-        _docs(spark, sf_dir)
+        spread(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", ts.alias("ts"))
         .filter(F.size("ts") >= 2)
     )
@@ -1582,7 +1592,10 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-k, no global sort
     materializes). Ties broken deterministically by (n_docs DESC,
     shingle)."""
-    sh = _docs(spark, sf_dir).select(
+    from job_crawler_spark.functions.compat import spread
+
+    # spread: single-row-group scan, shingle-heavy (functions/compat.spread)
+    sh = spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", F.explode(_ngrams_col(DECONTAM_NGRAM)).alias("shingle")
     )
     return (
@@ -1632,8 +1645,12 @@ def q_doc_excise_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row Python."""
     from job_crawler_spark.functions.compat import bind_once, stable_round
 
+    from job_crawler_spark.functions.compat import spread
+
     n = EXCISE_NGRAM
-    docs = _docs(spark, sf_dir)
+    # spread: single-row-group scan; positional + distinct shingle passes
+    # both tokenize the corpus (functions/compat.spread)
+    docs = spread(_docs(spark, sf_dir))
 
     def pos_shingles(toks: F.Column) -> F.Column:
         sh = F.transform(
@@ -2222,7 +2239,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
+    from job_crawler_spark.functions.compat import spread
+
+    # spread the raw text before the shingle projection — single-row-group
+    # scan, compute-heavy narrow stage (see functions/compat.spread)
+    docs = spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", _shingles_col().alias("sh")
+    )
     exploded = docs.select("doc_id", F.explode("sh").alias("shingle"))
     # stop-shingle cutoff via a whole-partition window count over the same
     # shuffle key the df aggregate would use — each consumer branch then
@@ -2371,8 +2394,10 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-join sides) — materialize them once instead of re-running
     # the tokenize+shingle scan per consumer (guide §2.4; corpus-sized
     # but narrow: doc_id + distinct shingles)
+    from job_crawler_spark.functions.compat import spread
+
     docs = tracked_local_checkpoint(
-        _docs(spark, sf_dir)
+        spread(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", _shingles_col().alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -2474,21 +2499,37 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    overlap = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    out = (
-        cand.join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
-            overlap.alias("overlap"),
+    # Exact verification is COMPUTE-bound (one set intersection per
+    # candidate), so the candidate frame is the stream side, spread over
+    # the session's core count: left alone, AQE coalesces the tiny
+    # (a, b) shuffle to 1-2 partitions by BYTES and the planner
+    # broadcasts the candidates, serializing all intersect work onto the
+    # docs checkpoint's few partitions (measured: 6.8 s of the query's
+    # 8.1 s). The doc-array sides are corpus-bounded broadcasts (the
+    # candidate side grows quadratically faster at scale). The intersect
+    # size is let-bound (bind_once) — the pushed-down jaccard filter
+    # would otherwise inline it 2x in the join condition and 2x in the
+    # projection.
+    from job_crawler_spark.functions.compat import bind_once
+
+    cand = cand.repartition(
+        2 * spark.sparkContext.defaultParallelism
+    )
+    pair = bind_once(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        lambda ov: F.struct(
+            ov.alias("overlap"),
             # stable_round, NOT F.round (HALF_UP vs binary-value rounding)
             stable_round(
-                overlap
-                / (F.size("sh_a") + F.size("sh_b") - overlap),
-                4,
+                ov / (F.size("sh_a") + F.size("sh_b") - ov), 4
             ).alias("jaccard"),
-        )
+        ),
+    )
+    out = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select("a", "b", pair.alias("__pj"))
+        .select("a", "b", "__pj.overlap", "__pj.jaccard")
         .filter(F.col("jaccard") >= SSJOIN_TAU)
         .orderBy("a", "b")
     )
@@ -2591,9 +2632,14 @@ def _minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     each consumer, and at 10^10 docs one would never block-cache the
     exploded bands anyway — recomputing a narrow projection is the
     scale-honest trade."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", _minhash_band_array().alias("ba")
-    )
+    from job_crawler_spark.functions.compat import spread
+
+    # spread the raw text BEFORE the signature projection: the fixture is
+    # a single-row-group file (1 scan task) and the md5+16-seed MinHash
+    # is by far the heaviest narrow stage in the dedup family
+    docs = spread(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", _minhash_band_array().alias("ba"))
     return (
         docs.filter(F.col("ba").isNotNull())
         .select("doc_id", F.explode("ba").alias("bb"))
