@@ -615,6 +615,15 @@ class CrawlEngine:
         # Writes are computed against the LATEST snapshots so a replay after
         # a partial commit never duplicates rows; reads above used the pinned
         # snapshots so the computed round is identical either way.
+        # spans_parsed rides the docs write as an observe metric instead of
+        # a second pass over the enriched frame (control-plane scalars fold
+        # into actions that already run — the round-scaling fix).
+        from pyspark.sql import Observation
+
+        docs_obs = Observation()
+        docs = docs.observe(
+            docs_obs, F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("s")
+        )
         if self.docs_mode == "mor":
             # merge-on-read: append this round's docs as a round-keyed
             # partition (O(round) commit); superseded copies (only possible
@@ -696,9 +705,7 @@ class CrawlEngine:
             )
             .withColumn("round", F.lit(round_no))
         )
-        spans_count = docs.select(
-            F.sum(F.size("spans")).alias("s")
-        ).collect()[0].s or 0
+        spans_count = docs_obs.get["s"] or 0
         lineage = lineage.withColumn(
             "spans_parsed", F.lit(int(spans_count)).cast("long")
         ).select(schemas.CRAWL_LOG_SCHEMA.fieldNames())

@@ -57,6 +57,29 @@ def _h64_triple(key: str) -> tuple[int, int, int]:
     )
 
 
+def _triples_arr(keys) -> "np.ndarray":
+    """(n, 3) uint64 blake2b word triples for a batch of keys — ONE digest
+    per key (the scalar paths hash twice: shard_of + _probe_positions),
+    decoded in bulk via frombuffer instead of per-word int.from_bytes."""
+    blake2b = hashlib.blake2b
+    digs = b"".join(
+        blake2b(k.encode("utf-8"), digest_size=24).digest() for k in keys
+    )
+    return np.frombuffer(digs, dtype="<u8").reshape(-1, 3)
+
+
+def _positions_arr(tr: "np.ndarray", m_bits: int, k: int) -> "np.ndarray":
+    """(n, k) int64 probe positions, bit-identical to _probe_positions.
+
+    Exactness: (h2 + i*h3) % m == ((h2 % m) + i*((h3|1) % m)) % m, and with
+    both residues < m_bits the int64 products never overflow for any sane
+    (m_bits, k) — so no arbitrary-precision loop is needed."""
+    h2 = (tr[:, 1] % np.uint64(m_bits)).astype(np.int64)
+    h3 = ((tr[:, 2] | np.uint64(1)) % np.uint64(m_bits)).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)[None, :]
+    return (h2[:, None] + i * h3[:, None]) % m_bits
+
+
 def shard_of(key: str, n_shards: int) -> int:
     return _h64_triple(key)[0] % n_shards
 
@@ -108,6 +131,32 @@ class BloomShards:
             for pos in _probe_positions(key, self.m_bits, self.k)
         )
 
+    def might_contain_batch(self, keys) -> "np.ndarray":
+        """Vectorized might_contain over a key batch — bit-identical to
+        the scalar form (parity pinned in tests/test_dedup_bloom.py): one
+        digest per key, all bitmaps stacked into one matrix, the k probe
+        lookups as a single fancy-indexed gather."""
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        stride = self.m_bits // 8 + 1
+        mat = np.zeros((self.n_shards, stride), dtype=np.uint8)
+        for s, bm in self.bitmaps.items():
+            mat[int(s), : len(bm)] = bm
+        tr = _triples_arr(keys)
+        shard_ids = (tr[:, 0] % np.uint64(self.n_shards)).astype(np.int64)
+        pos = _positions_arr(tr, self.m_bits, self.k)
+        vals = mat[shard_ids[:, None], pos >> 3]
+        bits = (vals >> (pos & 7).astype(np.uint8)) & 1
+        hit = bits.all(axis=1)
+        # empty shards (no bitmap row) must report False even though the
+        # zero matrix row already does; keep the explicit mask for parity
+        # with the dict-miss branch of the scalar form
+        present = np.zeros(self.n_shards, dtype=bool)
+        for s in self.bitmaps:
+            present[int(s)] = True
+        return hit & present[shard_ids]
+
     # -- (de)serialization for the seen_shards table / broadcast --------------
     def to_rows(self) -> list[tuple[int, bytes]]:
         return [(s, bm.tobytes()) for s, bm in sorted(self.bitmaps.items())]
@@ -149,24 +198,44 @@ def build_shards(
     shard id — uniform by construction (hash sharding)."""
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        bs = BloomShards(n_shards, m_bits, k)
-        for key in pdf[key_col]:
-            bs.add(key)
-        rows = bs.to_rows()
-        return pd.DataFrame(
-            {"shard": [r[0] for r in rows], "bitmap": [r[1] for r in rows]}
-        )
+        # vectorized build, bit-identical to BloomShards.add (the scalar
+        # form is the single-process oracle; parity pinned in
+        # tests/test_dedup_bloom.py): one digest per key, positions in
+        # bulk, bits set with bitwise_or.at instead of a per-bit Python
+        # loop — the shard-delta write was an engine-round hot phase.
+        keys = list(pdf[key_col])
+        if not keys:
+            return pd.DataFrame({"shard": [], "bitmap": []})
+        tr = _triples_arr(keys)
+        shard_ids = (tr[:, 0] % np.uint64(n_shards)).astype(np.int64)
+        out_s, out_b = [], []
+        for s in np.unique(shard_ids):
+            pos = _positions_arr(tr[shard_ids == s], m_bits, k)
+            bm = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+            np.bitwise_or.at(
+                bm,
+                (pos >> 3).ravel(),
+                np.left_shift(
+                    np.uint8(1), (pos & 7).astype(np.uint8)
+                ).ravel(),
+            )
+            out_s.append(int(s))
+            out_b.append(bm.tobytes())
+        return pd.DataFrame({"shard": out_s, "bitmap": out_b})
 
     # shard id must match shard_of() exactly (same blake2b), so it is
     # computed in an Arrow-batched mapInPandas — never a per-row scalar UDF.
     def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    key_col: pdf[key_col],
-                    "shard": [shard_of(u, n_shards) for u in pdf[key_col]],
-                }
+            keys = list(pdf[key_col])
+            shards = (
+                (_triples_arr(keys)[:, 0] % np.uint64(n_shards)).astype(
+                    np.int32
+                )
+                if keys
+                else np.array([], dtype=np.int32)
             )
+            yield pd.DataFrame({key_col: pdf[key_col], "shard": shards})
 
     keyed = keys.select(key_col).mapInPandas(
         add_shard, schema=f"{key_col} string, shard int"
@@ -240,9 +309,7 @@ def split_by_bloom(
         bs = BloomShards.from_rows(rows, n_shards, m_bits, k)
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["__maybe_seen"] = [
-                bs.might_contain(u) for u in pdf[key_col]
-            ]
+            pdf["__maybe_seen"] = bs.might_contain_batch(list(pdf[key_col]))
             yield pdf
 
     flagged = batch.mapInPandas(probe, schema=flag_schema)
@@ -277,7 +344,7 @@ def split_by_bloom_routed(
             acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
         bs = BloomShards(n_shards, m_bits, k)
         bs.bitmaps[int(shard_rows["shard"].iloc[0])] = acc
-        return [bs.might_contain(u) for u in keys]
+        return list(bs.might_contain_batch(list(keys)))
 
     return split_by_routed(
         batch, shards_df, key_col, n_shards, shard_of, probe, persist

@@ -439,9 +439,14 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered candidate rows with canonicalized URLs and freshness hints.
     Malformed entries (no <loc>) leave seq gaps; missing <lastmod> /
     <priority> surface as NULLs."""
+    from job_crawler_spark.functions.compat import spread
     from job_crawler_spark.sources.sitemaps import parse_sitemap_entries
 
-    rows = parse_sitemap_entries(sitemap_docs_df(spark, sf_dir))
+    # the fixture is ONE sitemap document per host (5 rows), so the parse
+    # explode and everything above the final sort would run on <= 5 tasks;
+    # spread the exploded entries so the per-row canonicalizer runs wide
+    # (functions/compat.spread — the operator itself stays shuffle-free)
+    rows = spread(parse_sitemap_entries(sitemap_docs_df(spark, sf_dir)))
     return rows.select(
         "host",
         "seq",
@@ -1067,8 +1072,15 @@ def anchor_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the part's name, except suppliers ≡ 0 (mod 3) link with the
     classic noise anchor 'Click here!' (mixed case + punctuation so
     tokenization is exercised in both engines)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey"
+    from job_crawler_spark.functions.compat import spread
+
+    # spread: the broadcast join, anchor tokenize and the first-level
+    # aggregate all sit in the single-row-group scan's stage otherwise
+    # (functions/compat.spread)
+    li = spread(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey"
+        )
     )
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_name"
@@ -1157,6 +1169,10 @@ def boiler_lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     line where k >= 13 (12/25 = 48% -> just BELOW it), and for k = 1 the
     footer AGAIN at a second position (same-doc repeat: one support
     vote, two excised instances)."""
+    # NO spread here: this frame feeds the body explode plus four
+    # planted-line unions (5 consumers), so a repartition would re-run
+    # its exchange per consumer — measured 2x slower than the plain
+    # single-task scans (see OPTIMIZATION_r06.md)
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(

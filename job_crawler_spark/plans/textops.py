@@ -487,12 +487,8 @@ def bpe_train(
 def bpe_symbolized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(w, cnt, syms) word-frequency dict with guard/double-separator
     symbol encoding — one corpus scan, one map-side-combined hash agg."""
-    from job_crawler_spark.functions.compat import spread
-
-    # spread: single-row-group scan feeding the corpus-collapse aggregate
-    # (functions/compat.spread)
     return (
-        spread(_docs(spark, sf_dir).select("text"))
+        _docs(spark, sf_dir)
         .select(F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -639,10 +635,8 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.size(F.split(F.trim(F.col("syms")), "  ")).alias("n_sym"),
     )
-    from job_crawler_spark.functions.compat import spread
-
     words = (
-        spread(_docs(spark, sf_dir).select("doc_id", "text"))
+        _docs(spark, sf_dir)
         .select("doc_id", F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w") != "")
     )
@@ -911,13 +905,9 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_local_checkpoint,
     )
 
-    from job_crawler_spark.functions.compat import spread
-
     ts = F.filter(_tokens_col(), lambda t: t != "")
-    # spread: single-row-group scan, tokenize+bigram-heavy
-    # (functions/compat.spread)
     docs = (
-        spread(_docs(spark, sf_dir).select("doc_id", "text"))
+        _docs(spark, sf_dir)
         .select("doc_id", ts.alias("ts"))
         .filter(F.size("ts") >= 2)
     )
@@ -1592,10 +1582,7 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-k, no global sort
     materializes). Ties broken deterministically by (n_docs DESC,
     shingle)."""
-    from job_crawler_spark.functions.compat import spread
-
-    # spread: single-row-group scan, shingle-heavy (functions/compat.spread)
-    sh = spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+    sh = _docs(spark, sf_dir).select(
         "doc_id", F.explode(_ngrams_col(DECONTAM_NGRAM)).alias("shingle")
     )
     return (
@@ -2394,10 +2381,8 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-join sides) — materialize them once instead of re-running
     # the tokenize+shingle scan per consumer (guide §2.4; corpus-sized
     # but narrow: doc_id + distinct shingles)
-    from job_crawler_spark.functions.compat import spread
-
     docs = tracked_local_checkpoint(
-        spread(_docs(spark, sf_dir).select("doc_id", "text"))
+        _docs(spark, sf_dir)
         .select("doc_id", _shingles_col().alias("sh"))
         .filter(F.size("sh") > 0)
     )

@@ -258,3 +258,42 @@ def test_long_chain_falls_back_to_star(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iter=8, fallback="raise")
+
+
+def test_vectorized_bloom_matches_scalar_oracle():
+    """The numpy build/probe fast paths must be bit-identical to the
+    single-process scalar forms (add / might_contain), including
+    non-power-of-two m_bits (the residue-arithmetic exactness argument in
+    operators/bloom._positions_arr) and keys routed to missing shards."""
+    import numpy as np
+
+    from job_crawler_spark.operators.bloom import (
+        BloomShards,
+        _positions_arr,
+        _probe_positions,
+        _triples_arr,
+        shard_of,
+    )
+
+    keys = [f"https://h{i % 13}.example/p/{i}" for i in range(500)]
+    for m_bits in (1 << 20, 999_983):  # power of two AND a prime
+        k = 5
+        # positions parity
+        tr = _triples_arr(keys)
+        pos = _positions_arr(tr, m_bits, k)
+        for i, key in enumerate(keys[:50]):
+            assert list(pos[i]) == _probe_positions(key, m_bits, k), key
+        # build via scalar oracle, probe via batch — members all hit,
+        # and batch verdicts equal scalar verdicts for non-members too
+        bs = BloomShards(8, m_bits, k)
+        for key in keys[:250]:
+            bs.add(key)
+        probes = keys  # 250 members + 250 non-members
+        got = bs.might_contain_batch(probes)
+        want = np.array([bs.might_contain(p) for p in probes])
+        assert (got == want).all()
+        assert got[:250].all()  # zero false negatives
+        # shard routing parity
+        sh = (tr[:, 0] % np.uint64(8)).astype(int)
+        for i, key in enumerate(keys[:50]):
+            assert int(sh[i]) == shard_of(key, 8)
