@@ -38,7 +38,15 @@ SIGN_BITS = 4        # LSH bucket bits -> 16 buckets
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from job_crawler_spark.functions.compat import spread
+
+    # spread: the fixture is a single-row-group file (1 scan task) and
+    # every consumer runs per-row vector arithmetic (cosines against K
+    # broadcast candidates, quantization, gram expansion) straight above
+    # the scan — same-session A/B wins on every benched emb query
+    # (see functions/compat.spread; filters still push below the
+    # round-robin exchange, so query-side vec_id pruning is unaffected)
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
