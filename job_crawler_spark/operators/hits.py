@@ -22,18 +22,22 @@ corpus-sized cache for zero per-iteration corpus exchanges. Per
 iteration the moving data is the node-sized score frame onto each edge
 partitioning plus ONE map-side-combined aggregate shuffle per half-step;
 the L1 normalizers are 1-row aggregates broadcast back (never a driver
-collect in the data path). Score lineage is localCheckpointed every
-``checkpoint_every`` iterations with the superseded checkpoint released,
-so deep iteration counts neither rebuild the whole chain per action nor
-leak block storage. The default is 1 — the Pregel per-superstep
-materialization — because the lazy chain is not linear in iterations:
-each normalizer ``crossJoin(broadcast(total))`` embeds the raw-aggregate
-subtree twice and the hub half-step embeds the authority half-step, so
-the un-truncated logical plan (and Catalyst analysis time) grows ~4x per
-iteration; materializing the node-sized score frame each round keeps
-planning O(iterations) for the cost GraphX pays anyway (one cached
-vertex frame per superstep, released as soon as it is superseded). Nothing is node-count-bounded on the driver except
-the scalar node count.
+collect in the data path). Lineage truncation (changed in r06 — callers
+tuning ``checkpoint_every`` should note the new mechanics): at each
+boundary the node-sized RAW aggregate of a half-step is
+localCheckpointed (superseded checkpoint released immediately), not the
+normalized score frame — the normalizer total embeds the raw subtree a
+second time and the next half-step a third, so materializing the raw
+frame bounds the plan at strictly less work; and the LAST iteration is
+always a boundary, so the final hub⋈authority join reads two cheap
+checkpointed subtrees instead of re-executing the last iteration's
+corpus joins twice. The default remains 1 (the Pregel per-superstep
+materialization) because the lazy chain is not linear in iterations:
+the un-truncated logical plan (and Catalyst analysis time) grows ~4x
+per iteration; per-boundary materialization keeps planning
+O(iterations) for the cost GraphX pays anyway (one cached vertex frame
+per superstep, released as soon as it is superseded). Nothing is
+node-count-bounded on the driver except the scalar node count.
 """
 
 from __future__ import annotations

@@ -820,6 +820,16 @@ def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the referential check relationships(o_custkey -> customer) —
     all integer-exact.
 
+    Stated deviation from dbt's unique test (r05 ADVICE): uniqueness is
+    computed as n_rows - count_distinct(key), which counts NULL keys as
+    uniqueness violations, whereas dbt's unique test ignores NULLs
+    (they belong solely to not_null). On a NOT NULL key column the two
+    agree; with NULL keys present this suite double-reports them (once
+    under not_null, once under unique) — a deliberate strict-superset
+    contract, identical in both engines and pinned by the oracle, so it
+    cannot silently drift. Changing it now would change the gated
+    output; the dbt-exact form is count(key) - count_distinct(key).
+
     Scale shape: the four orders-local checks fold into ONE pass — a
     single aggregate row (violation counters computed side by side,
     map-side combined; uniqueness as n_rows - n_distinct(key) rides the

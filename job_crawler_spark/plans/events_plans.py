@@ -208,12 +208,21 @@ def q_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition but calendar-bounded — one row per day regardless
     of corpus size (the error_rate_ma7 argument). Zero Python.
 
-    Operating envelope: the 2^t scaling overflows a double past
-    t ~ 970 rows; for multi-year windows, chunk by epoch (re-base the
-    exponent every ~256 days and carry the epoch boundary level — the
-    recursion is associative over prefixes) or switch to the plain
-    recursive form via a stateful pass. The gated contract covers
-    calendar windows well inside the envelope.
+    Operating envelope (two distinct bounds; the tighter one governs):
+    the ORDER-INDEPENDENCE of the partial sums — what makes the raw
+    doubles gate-comparable across engines without a stable_round —
+    requires every partial sum of x_i * 2^i to stay an exact integer
+    below 2^53, i.e. t + log2(max_daily_count) <= ~52 (the largest term
+    is bounded by 2^(t + log2 max_count)); the 2^t scaling itself only
+    overflows a double much later, past t ~ 970 rows. Past the EXACTNESS
+    bound the value is still a correct EWMA but its last ulps become
+    association-order-dependent and the two engines' window-sum orders
+    may diverge — chunk by epoch (re-base the exponent so
+    t + log2(max_count) stays under 52 and carry the epoch boundary
+    level — the recursion is associative over prefixes) or switch to the
+    plain recursive form via a stateful pass. The gated contract sits
+    well inside the exactness bound: a 30-day calendar with daily counts
+    < 2^12 is ~42 bits against the 52-bit ceiling.
     """
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(

@@ -90,12 +90,12 @@ def test_parallel_edges_count_per_occurrence(spark):
 
 
 def test_checkpoint_boundary_preserves_values(spark):
-    # the lazy chain grows ~4x per un-checkpointed iteration (see
-    # operators/hits.py), so the materialization gap (= ck_every, and the
-    # final tail) is kept <= 2: 5 iters / ck 2 -> ckpts at 2 and 4, which
-    # exercises both the swap AND the release of the superseded
-    # checkpoint; larger gaps are a plan-size stress test, not coverage
-    for iters, ck_every in ((5, 2),):
+    # (5, 2) exercises the swap AND the release of the superseded
+    # checkpoint; (6, 4) keeps one larger materialization gap in the
+    # loop (r05 ADVICE: a multi-iteration un-checkpointed tail must stay
+    # covered — the ~4x-per-iteration plan growth concern applies to
+    # DEFAULT callers, not a 6-iteration test graph)
+    for iters, ck_every in ((5, 2), (6, 4)):
         want_h, want_a = _oracle(GRAPH, iters)
         got_h, got_a = _run(
             spark, GRAPH, iterations=iters, checkpoint_every=ck_every

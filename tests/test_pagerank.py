@@ -83,7 +83,8 @@ def test_checkpoint_boundary_preserves_values(spark):
     (release of the superseded lineage) must not change the result."""
     # gap kept <= 2: the un-truncated chain doubles per iteration (see
     # operators/pagerank.py); ckpts at 2 and 4 exercise swap + release
-    for iters, ck_every in ((5, 2),):
+    # (6, 4) keeps one larger un-checkpointed gap covered (r05 ADVICE)
+    for iters, ck_every in ((5, 2), (6, 4)):
         want = _oracle(DANGLING_GRAPH, iters, 0.85)
         got = _run(
             spark, DANGLING_GRAPH, iterations=iters, checkpoint_every=ck_every
